@@ -1,0 +1,179 @@
+"""Pallas TPU kernels: weight-only INT8 / INT4 dequant + matmul.
+
+This is the decode hot path. Decoding is HBM-bandwidth-bound: every step
+streams all weights once, so INT8 halves and INT4 quarters the bytes moved
+versus bf16 — the kernel's job is to dequantise *inside* the MXU pipeline so
+the speedup is realised instead of being spent on a separate dequant pass.
+
+Role parity: the reference outsources this to vLLM CUDA kernels
+(SURVEY.md §2.8 "vLLM CUDA kernels / bf16 dense matmul → Pallas weight-only
+INT4/INT8 dequant+matmul kernels").
+
+Design
+------
+* ``y[M, N] = x[M, K] @ (q[K, N] * scale[N])``, accumulation in f32.
+* Grid ``(N/bn, K/bk)`` with the K axis minor: each output tile is revisited
+  across K steps and accumulated in a VMEM f32 scratch; scales are applied
+  once on the final K step (dequant is algebraically hoisted out of the
+  accumulation: x @ (q*s) == (x @ q) * s for per-column scales).
+* INT4 weights arrive packed two-per-byte along K (ops/quant.py layout) and
+  are unpacked in-kernel with shift ops.
+* Wrappers pad M to the bf16 sublane multiple and fall back to a pure-jnp
+  reference (same math, XLA-fused) off-TPU, so the engine runs on the CPU
+  mesh for tests and dry-runs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .quant import QuantizedTensor, unpack_int4
+
+
+def _pick_block(dim: int, candidates: tuple[int, ...]) -> int:
+    for c in candidates:
+        if dim % c == 0:
+            return c
+    return dim
+
+
+def _matmul_int8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(
+        x_ref[:],
+        w_ref[:].astype(x_ref.dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == nk - 1)
+    def _finish():
+        o_ref[:] = (acc_ref[:] * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _matmul_int4_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    w = unpack_int4(w_ref[:])  # (bk//2, bn) packed -> (bk, bn) int8
+    acc_ref[:] += jnp.dot(
+        x_ref[:],
+        w.astype(x_ref.dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == nk - 1)
+    def _finish():
+        o_ref[:] = (acc_ref[:] * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _sublane(dtype) -> int:
+    return {jnp.dtype(jnp.float32): 8, jnp.dtype(jnp.bfloat16): 16}.get(jnp.dtype(dtype), 8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bits", "block_n", "block_k", "interpret", "out_dtype")
+)
+def quantized_matmul(
+    x: jax.Array,
+    q: jax.Array,
+    scale: jax.Array,
+    *,
+    bits: int = 8,
+    block_n: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+    out_dtype=None,
+) -> jax.Array:
+    """``x @ dequant(q, scale)`` via the Pallas kernel.
+
+    x: [M, K] bf16/f32. q: [K, N] int8 (bits=8) or [K//2, N] packed (bits=4).
+    scale: [N] f32. Returns [M, N] in ``out_dtype`` (default: x.dtype).
+    """
+    if x.ndim != 2 or q.ndim != 2:
+        raise ValueError(f"expected 2-D x and q, got {x.shape} and {q.shape}")
+    M, K = x.shape
+    Kq, N = q.shape
+    K_logical = Kq * 2 if bits == 4 else Kq
+    if K != K_logical:
+        raise ValueError(f"K mismatch: x has {K}, q encodes {K_logical}")
+    out_dtype = out_dtype or x.dtype
+
+    bn = _pick_block(N, tuple(b for b in (1024, 512, 256, 128) if b <= max(block_n, 128)))
+    bk = _pick_block(K, tuple(b for b in (1024, 512, 256, 128) if b <= max(block_k, 128)))
+    if N % bn or K % bk:
+        # Irregular dims: fall back to the XLA reference path.
+        return quantized_matmul_ref(x, q, scale, bits=bits, out_dtype=out_dtype)
+
+    sub = _sublane(x.dtype)
+    M_pad = ((M + sub - 1) // sub) * sub
+    if M_pad != M:
+        x = jnp.pad(x, ((0, M_pad - M), (0, 0)))
+
+    grid = (N // bn, K // bk)
+    kernel = _matmul_int8_kernel if bits == 8 else _matmul_int4_kernel
+    w_rows = bk if bits == 8 else bk // 2
+
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((M_pad, bk), lambda j, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_rows, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j, k: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M_pad, bn), lambda j, k: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M_pad, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((M_pad, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M_pad * K * N,
+            bytes_accessed=M_pad * K * x.dtype.itemsize + Kq * N + M_pad * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, q, scale.reshape(1, N))
+    return out[:M]
+
+
+def quantized_matmul_ref(
+    x: jax.Array, q: jax.Array, scale: jax.Array, *, bits: int = 8, out_dtype=None
+) -> jax.Array:
+    """Pure-jnp reference: identical math, XLA-compiled. Used for kernel
+    correctness tests and as the off-TPU fallback."""
+    out_dtype = out_dtype or x.dtype
+    w = q if bits == 8 else unpack_int4(q)
+    acc = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    return (acc * scale[None, :].astype(jnp.float32)).astype(out_dtype)
+
+
+def linear_q(x: jax.Array, t: QuantizedTensor, *, use_pallas: bool = True) -> jax.Array:
+    """Apply a quantized linear layer to activations of any leading shape."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    fn = quantized_matmul if use_pallas else quantized_matmul_ref
+    y = fn(x2, t.q, t.scale, bits=t.bits)
+    return y.reshape(*lead, t.out_features)
+
+
+def on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # noqa: BLE001
+        return False

@@ -1,0 +1,183 @@
+"""Kernel correctness: quantization round-trips, Pallas kernels vs jnp
+references (interpret mode on CPU), sampling, attention."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adaptive_sd_tpu.ops import (
+    greedy_sample,
+    logprob_stats,
+    pack_int4,
+    paged_attention,
+    paged_attention_ref,
+    prefill_attention,
+    quantization_error,
+    quantize_int4,
+    quantize_int8,
+    quantize_kv_int8,
+    dequantize_kv_int8,
+    quantized_matmul,
+    quantized_matmul_ref,
+    sample,
+    unpack_int4,
+)
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(7)
+
+
+class TestQuant:
+    def test_int8_roundtrip_error(self, rng):
+        w = jnp.asarray(rng.normal(size=(256, 128)).astype(np.float32))
+        t = quantize_int8(w)
+        assert t.q.dtype == jnp.int8 and t.scale.shape == (128,)
+        assert quantization_error(w, t) < 0.02
+
+    def test_int4_pack_unpack_exact(self, rng):
+        q = jnp.asarray(rng.integers(-8, 8, size=(64, 32)).astype(np.int8))
+        assert jnp.array_equal(unpack_int4(pack_int4(q)), q)
+
+    def test_int4_roundtrip_error(self, rng):
+        w = jnp.asarray(rng.normal(size=(256, 128)).astype(np.float32))
+        t = quantize_int4(w)
+        assert t.q.shape == (128, 128)  # packed along K
+        assert quantization_error(w, t) < 0.2
+
+    def test_kv_int8(self, rng):
+        kv = jnp.asarray(rng.normal(size=(4, 16, 128)).astype(np.float32))
+        q, s = quantize_kv_int8(kv)
+        back = dequantize_kv_int8(q, s, jnp.float32)
+        assert jnp.max(jnp.abs(back - kv)) < 0.05
+
+    def test_odd_k_pack_raises(self):
+        with pytest.raises(ValueError):
+            pack_int4(jnp.zeros((3, 4), jnp.int8))
+
+
+class TestQuantizedMatmul:
+    @pytest.mark.parametrize("bits", [8, 4])
+    @pytest.mark.parametrize("M", [1, 5, 16])
+    def test_kernel_matches_reference(self, rng, bits, M):
+        K, N = 512, 256
+        w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32))
+        x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+        t = quantize_int8(w) if bits == 8 else quantize_int4(w)
+        ref = quantized_matmul_ref(x, t.q, t.scale, bits=bits)
+        ker = quantized_matmul(x, t.q, t.scale, bits=bits, interpret=True)
+        np.testing.assert_allclose(np.asarray(ker), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+    def test_irregular_dims_fall_back(self, rng):
+        w = jnp.asarray(rng.normal(size=(100, 96)).astype(np.float32))
+        x = jnp.asarray(rng.normal(size=(3, 100)).astype(np.float32))
+        t = quantize_int8(w)
+        out = quantized_matmul(x, t.q, t.scale, bits=8, interpret=True)
+        assert out.shape == (3, 96)
+
+    def test_shape_validation(self):
+        with pytest.raises(ValueError):
+            quantized_matmul(
+                jnp.zeros((2, 64)), jnp.zeros((128, 32), jnp.int8), jnp.ones(32), bits=8
+            )
+
+
+class TestPagedAttention:
+    def _setup(self, rng, B=2, n_kv=2, G=4, D=128, page=128, max_pages=3):
+        n_pages = 8
+        q = jnp.asarray(rng.normal(size=(B, n_kv, G, D)).astype(np.float32))
+        k = rng.normal(size=(n_kv, n_pages, page, D)).astype(np.float32)
+        v = rng.normal(size=(n_kv, n_pages, page, D)).astype(np.float32)
+        kq, ks = quantize_kv_int8(jnp.asarray(k))
+        vq, vs = quantize_kv_int8(jnp.asarray(v))
+        ks = jnp.swapaxes(ks[..., None], 2, 3)  # [n_kv, n_pages, 1, page]
+        vs = jnp.swapaxes(vs[..., None], 2, 3)
+        tables = jnp.asarray(rng.integers(0, n_pages, size=(B, max_pages)), jnp.int32)
+        lens = jnp.asarray([page * max_pages - 17, 40], jnp.int32)[:B]
+        return q, kq, ks, vq, vs, tables, lens, D
+
+    def test_kernel_matches_reference(self, rng):
+        q, kq, ks, vq, vs, tables, lens, D = self._setup(rng)
+        sm = 1.0 / np.sqrt(D)
+        ref = paged_attention_ref(q, kq, ks, vq, vs, tables, lens, sm_scale=sm)
+        ker = paged_attention(q, kq, ks, vq, vs, tables, lens, sm_scale=sm, interpret=True)
+        np.testing.assert_allclose(np.asarray(ker), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+    def test_length_masking(self, rng):
+        """Tokens beyond seq_len must not affect the output."""
+        q, kq, ks, vq, vs, tables, lens, D = self._setup(rng, B=1, max_pages=2)
+        sm = 1.0 / np.sqrt(D)
+        lens = jnp.asarray([5], jnp.int32)
+        out1 = paged_attention_ref(q, kq, ks, vq, vs, tables, lens, sm_scale=sm)
+        # swap the second page (entirely beyond len 5): output unchanged
+        tables2 = tables.at[0, 1].set((tables[0, 1] + 1) % 8)
+        out2 = paged_attention_ref(q, kq, ks, vq, vs, tables2, lens, sm_scale=sm)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), rtol=1e-6)
+
+
+class TestPrefillAttention:
+    def test_causal_against_naive(self, rng):
+        B, S, H, n_kv, D = 2, 16, 4, 2, 32
+        q = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, S, n_kv, D)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, S, n_kv, D)).astype(np.float32))
+        out = prefill_attention(q, k, v, sm_scale=1.0 / np.sqrt(D))
+        # naive per-position loop
+        group = H // n_kv
+        for b in range(B):
+            for h in range(H):
+                kv_h = h // group
+                for i in [0, 5, S - 1]:
+                    s = (q[b, i, h] @ k[b, : i + 1, kv_h].T) / np.sqrt(D)
+                    w = jax.nn.softmax(s)
+                    expect = w @ v[b, : i + 1, kv_h]
+                    np.testing.assert_allclose(
+                        np.asarray(out[b, i, h]), np.asarray(expect), rtol=1e-4, atol=1e-4
+                    )
+
+    def test_padding_mask(self, rng):
+        B, S, H, n_kv, D = 1, 8, 2, 2, 16
+        q = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, S, n_kv, D)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, S, n_kv, D)).astype(np.float32))
+        out1 = prefill_attention(q, k, v, sm_scale=0.25, seq_lens=jnp.asarray([4]))
+        k2 = k.at[:, 4:].set(99.0)  # garbage beyond the valid length
+        v2 = v.at[:, 4:].set(-99.0)
+        out2 = prefill_attention(q, k2, v2, sm_scale=0.25, seq_lens=jnp.asarray([4]))
+        np.testing.assert_allclose(np.asarray(out1[:, :4]), np.asarray(out2[:, :4]), rtol=1e-5)
+
+
+class TestSampling:
+    def test_greedy(self):
+        logits = jnp.asarray([[0.0, 5.0, 1.0], [3.0, 0.0, 0.0]])
+        r = greedy_sample(logits)
+        assert r.token.tolist() == [1, 0]
+        assert float(r.logprob[0]) == pytest.approx(
+            float(jax.nn.log_softmax(logits[0])[1]), abs=1e-6
+        )
+
+    def test_temperature_zero_is_greedy(self):
+        logits = jnp.asarray([[0.0, 5.0, 1.0]])
+        r = sample(logits, jax.random.key(0), temperature=0.0)
+        assert r.token.tolist() == [1]
+
+    def test_top_p_excludes_tail(self):
+        logits = jnp.asarray([[10.0, 9.9, -10.0, -10.0]])
+        toks = set()
+        for i in range(20):
+            r = sample(logits, jax.random.key(i), temperature=1.0, top_p=0.9)
+            toks.add(int(r.token[0]))
+        assert toks <= {0, 1}
+
+    def test_top_p_always_keeps_top_token(self):
+        logits = jnp.asarray([[10.0, 0.0]])
+        r = sample(logits, jax.random.key(0), temperature=1.0, top_p=0.01)
+        assert int(r.token[0]) == 0
+
+    def test_logprob_stats_masking(self):
+        lp = jnp.asarray([-1.0, -2.0, -3.0, -99.0])
+        s = logprob_stats(lp, jnp.asarray(3))
+        assert float(s["mean"]) == pytest.approx(-2.0)
+        assert float(s["min"]) == pytest.approx(-3.0)
