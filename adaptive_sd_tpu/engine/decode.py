@@ -1,0 +1,257 @@
+"""Tier execution engine: fused generation graphs + stepwise decode API.
+
+Role parity: the vLLM ``LLM.generate`` engine the reference wraps per stage
+(``src/serving/real_model_pipeline.py:89-164``). TPU-first design:
+
+* ``generate`` runs ONE jit-compiled graph per (batch, prompt-bucket,
+  max_new) shape bucket: prefill + a ``lax.while_loop`` decode with on-device
+  sampling and early exit — zero host round-trips per token, which matters
+  doubly here because each dispatch crosses the TPU tunnel (~0.7 ms).
+* ``prefill_batch`` / ``decode_batch`` expose single-step graphs for the
+  continuous-batching scheduler (engine/scheduler.py), which trades the
+  per-step dispatch for cross-request batching.
+* The KV cache is donated through every call, so XLA updates pages in place.
+* Shape bucketing: batch to powers of two, prompt length to multiples of the
+  KV page size — the compile-cache keys (the reference never faces this; XLA
+  does, SURVEY.md §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import time
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import ModelOutput
+from ..models.config import ModelSpec
+from ..models.qwen import decode_step, prefill
+from ..ops.sampling import sample
+from .allocator import PageAllocator
+from .kv_cache import PagedKVCache
+
+PAD_ID = 0
+
+
+def _bucket_batch(b: int) -> int:
+    return 1 << max(0, (b - 1).bit_length())
+
+
+def _bucket_len(s: int, multiple: int) -> int:
+    return max(multiple, ((s + multiple - 1) // multiple) * multiple)
+
+
+@dataclass
+class GenerationOutput:
+    """Per-request generation payload (host side)."""
+
+    token_ids: np.ndarray      # [n] int32
+    logprobs: np.ndarray       # [n] float32
+    prefill_time_s: float
+    decode_time_s: float
+
+    @property
+    def num_tokens(self) -> int:
+        return int(self.token_ids.shape[0])
+
+
+def _make_generate_fn(spec: ModelSpec, use_pallas: bool):
+    """Fused prefill + while-loop decode. Static over (max_new, temperature,
+    top_p, eos_id); traced over token/table/cache shapes."""
+
+    def fn(params, tokens, seq_lens, block_tables, cache, key, *, max_new, temperature, top_p, eos_id):
+        B = tokens.shape[0]
+        logits, cache = prefill(
+            params, spec, tokens, seq_lens, cache, block_tables, use_pallas=use_pallas
+        )
+        key, k0 = jax.random.split(key)
+        first = sample(logits, k0, temperature=temperature, top_p=top_p)
+
+        out_toks = jnp.full((B, max_new), PAD_ID, jnp.int32)
+        out_lps = jnp.zeros((B, max_new), jnp.float32)
+        active = jnp.ones((B,), bool)
+        gen_len = jnp.zeros((B,), jnp.int32)
+
+        def cond(state):
+            i, _, active, *_ = state
+            return jnp.logical_and(i < max_new, jnp.any(active))
+
+        def body(state):
+            i, tok, active, cache, out_toks, out_lps, gen_len, key = state
+            out_toks = out_toks.at[:, i].set(jnp.where(active, tok.token, PAD_ID))
+            out_lps = out_lps.at[:, i].set(jnp.where(active, tok.logprob, 0.0))
+            gen_len = gen_len + active.astype(jnp.int32)
+            if eos_id is not None:
+                active = jnp.logical_and(active, tok.token != eos_id)
+            positions = seq_lens + i  # position of the token being fed
+            logits, cache = decode_step(
+                params, spec, tok.token, positions, cache, block_tables, use_pallas=use_pallas
+            )
+            key, kk = jax.random.split(key)
+            nxt = sample(logits, kk, temperature=temperature, top_p=top_p)
+            return (i + 1, nxt, active, cache, out_toks, out_lps, gen_len, key)
+
+        state = (0, first, active, cache, out_toks, out_lps, gen_len, key)
+        _, _, _, cache, out_toks, out_lps, gen_len, _ = jax.lax.while_loop(cond, body, state)
+        return out_toks, out_lps, gen_len, cache
+
+    return fn
+
+
+class TierEngine:
+    """One cascade tier: quantized params + compiled execution graphs +
+    page allocation. Thread-compatible: jit dispatch is GIL-friendly and the
+    allocator is locked; callers serialise per-engine generate calls."""
+
+    def __init__(
+        self,
+        spec: ModelSpec,
+        params,
+        *,
+        name: Optional[str] = None,
+        page_size: int = 128,
+        n_pages: int = 512,
+        use_pallas: bool = True,
+        eos_id: Optional[int] = None,
+        cost_per_token: float = 1.0,
+        donate_cache: bool = True,
+    ) -> None:
+        self.spec = spec
+        self.params = params
+        self.name = name or spec.name
+        self.page_size = page_size
+        self.use_pallas = use_pallas
+        self.eos_id = eos_id
+        self.cost_per_token = cost_per_token
+        self.allocator = PageAllocator(n_pages)
+        self.cache = PagedKVCache.create(spec, n_pages, page_size)
+        self._generate_raw = _make_generate_fn(spec, use_pallas)
+        donate = (4,) if donate_cache else ()
+        self._generate_jit = jax.jit(
+            self._generate_raw,
+            static_argnames=("max_new", "temperature", "top_p", "eos_id"),
+            donate_argnums=donate,
+        )
+        self._prefill_jit = jax.jit(
+            self._prefill_fn, donate_argnums=(4,) if donate_cache else ()
+        )
+        self._decode_jit = jax.jit(
+            self._decode_fn, donate_argnums=(3,) if donate_cache else ()
+        )
+        self.total_generated_tokens = 0
+        self.total_decode_time_s = 0.0
+
+    # single-step graphs for the continuous-batching scheduler ---------------
+    def _prefill_fn(self, params, tokens, seq_lens, block_tables, cache):
+        return prefill(
+            params, self.spec, tokens, seq_lens, cache, block_tables, use_pallas=self.use_pallas
+        )
+
+    def _decode_fn(self, params, tokens, positions, cache, block_tables):
+        return decode_step(
+            params, self.spec, tokens, positions, cache, block_tables, use_pallas=self.use_pallas
+        )
+
+    def prefill_batch(self, tokens: jax.Array, seq_lens: jax.Array, block_tables: jax.Array):
+        logits, self.cache = self._prefill_jit(
+            self.params, tokens, seq_lens, block_tables, self.cache
+        )
+        return logits
+
+    def decode_batch(self, tokens: jax.Array, positions: jax.Array, block_tables: jax.Array):
+        logits, self.cache = self._decode_jit(
+            self.params, tokens, positions, self.cache, block_tables
+        )
+        return logits
+
+    # fused offline/bench path ----------------------------------------------
+    def generate(
+        self,
+        prompts: Sequence[Sequence[int]],
+        *,
+        max_new: int = 128,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        seed: int = 0,
+    ) -> list[GenerationOutput]:
+        B = len(prompts)
+        Bb = _bucket_batch(B)
+        lens = [len(p) for p in prompts]
+        S = _bucket_len(max(lens), self.page_size)
+        max_pages = (S + max_new + self.page_size - 1) // self.page_size + 1
+
+        tokens = np.full((Bb, S), PAD_ID, np.int32)
+        for i, p in enumerate(prompts):
+            tokens[i, : len(p)] = np.asarray(p, np.int32)
+        seq_lens = np.asarray(lens + [1] * (Bb - B), np.int32)
+
+        rid = f"gen{id(self)}_{time.monotonic_ns()}"
+        tables = np.zeros((Bb, max_pages), np.int32)
+        try:
+            for b in range(Bb):
+                tables[b] = self.allocator.alloc(f"{rid}_{b}", max_pages)
+            t0 = time.perf_counter()
+            out_toks, out_lps, gen_len, self.cache = self._generate_jit(
+                self.params,
+                jnp.asarray(tokens),
+                jnp.asarray(seq_lens),
+                jnp.asarray(tables),
+                self.cache,
+                jax.random.key(seed),
+                max_new=max_new,
+                temperature=temperature,
+                top_p=top_p,
+                eos_id=self.eos_id,
+            )
+            out_toks, out_lps, gen_len = jax.device_get((out_toks, out_lps, gen_len))
+            dt = time.perf_counter() - t0
+        finally:
+            for b in range(Bb):
+                self.allocator.free_request(f"{rid}_{b}")
+
+        results = []
+        for i in range(B):
+            n = int(gen_len[i])
+            results.append(
+                GenerationOutput(
+                    token_ids=out_toks[i, :n].copy(),
+                    logprobs=out_lps[i, :n].copy(),
+                    prefill_time_s=0.0,
+                    decode_time_s=dt,
+                )
+            )
+        self.total_generated_tokens += int(gen_len[:B].sum())
+        self.total_decode_time_s += dt
+        return results
+
+    # ops/info ----------------------------------------------------------------
+    def warmup(self, batch: int = 1, prompt_len: int = 16, max_new: int = 8) -> float:
+        t0 = time.perf_counter()
+        self.generate(
+            [[1] * prompt_len for _ in range(batch)], max_new=max_new, temperature=0.0
+        )
+        return time.perf_counter() - t0
+
+    def memory_usage_bytes(self) -> int:
+        params_b = sum(
+            x.size * x.dtype.itemsize for x in jax.tree.leaves(self.params)
+        )
+        return params_b + self.cache.memory_bytes()
+
+    def get_model_info(self) -> dict:
+        return {
+            "name": self.name,
+            "spec": self.spec.name,
+            "n_layers": self.spec.n_layers,
+            "hidden": self.spec.hidden,
+            "approx_params": self.spec.approx_params,
+            "page_size": self.page_size,
+            "n_pages": self.allocator.n_pages,
+            "cost_per_token": self.cost_per_token,
+            "memory_bytes": self.memory_usage_bytes(),
+        }

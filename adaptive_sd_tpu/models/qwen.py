@@ -1,0 +1,239 @@
+"""Functional Qwen2-style transformer (RMSNorm / RoPE / GQA / SwiGLU).
+
+Role parity: the model executor the reference gets from vLLM
+(``src/serving/real_model_pipeline.py:89-115`` loads Qwen via vLLM). Built
+TPU-first as pure functions over a params pytree:
+
+* Linear weights may be raw bf16 arrays or ``QuantizedTensor`` (INT8/INT4) —
+  the Pallas dequant-matmul kernels consume the latter on TPU, with an
+  identical-math jnp fallback off-TPU (``use_pallas=False``).
+* Decode attention reads/writes the paged INT8 KV cache (engine/kv_cache.py);
+  prefill uses dense bf16 attention then quantises KV into pages.
+* No data-dependent Python control flow: prefill/decode jit once per shape
+  bucket; layers are a Python loop at trace time over a per-layer params list
+  (each layer's cache buffer aliases in-place under donation — a
+  layer-stacked scan carry would force whole-pool dynamic slices instead).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.matmul_q import linear_q
+from ..ops.attention import paged_attention, paged_attention_ref, prefill_attention
+from ..ops.quant import QuantizedTensor, quantize_int4, quantize_int8, quantize_kv_int8
+from .config import ModelSpec
+
+Params = dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def linear(x: jax.Array, w, bias=None, *, use_pallas: bool = True) -> jax.Array:
+    """Dispatch on weight type: QuantizedTensor -> dequant-matmul kernel,
+    raw array -> plain dot."""
+    if isinstance(w, QuantizedTensor):
+        y = linear_q(x, w, use_pallas=use_pallas)
+    else:
+        y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def rope_tables(positions: jax.Array, head_dim: int, theta: float) -> tuple[jax.Array, jax.Array]:
+    """cos/sin tables for given positions: [..., head_dim//2] f32."""
+    half = head_dim // 2
+    freqs = theta ** (-jnp.arange(half, dtype=jnp.float32) / half)
+    angles = positions.astype(jnp.float32)[..., None] * freqs
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotate-half RoPE. x: [..., D]; cos/sin broadcastable to [..., D//2]."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half].astype(jnp.float32), x[..., half:].astype(jnp.float32)
+    return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# parameter init / quantization
+
+
+def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.bfloat16) -> Params:
+    """Random init with realistic scales — used for tests and synthetic-weight
+    benchmarking (real weights come from models/loader.py)."""
+    H, D = spec.hidden, spec.head_dim
+    n_q, n_kv, F, V = spec.n_heads, spec.n_kv_heads, spec.ffn, spec.vocab_size
+    keys = iter(jax.random.split(key, 6 + spec.n_layers * 7))
+
+    def dense(k, shape, fan_in):
+        return (jax.random.normal(k, shape, jnp.float32) / math.sqrt(fan_in)).astype(dtype)
+
+    params: Params = {
+        "embed": dense(next(keys), (V, H), H),
+        "final_norm": jnp.ones((H,), dtype),
+        "layers": [],
+    }
+    if not spec.tie_embeddings:
+        params["lm_head"] = dense(next(keys), (H, V), H)
+    for _ in range(spec.n_layers):
+        layer = {
+            "input_norm": jnp.ones((H,), dtype),
+            "post_norm": jnp.ones((H,), dtype),
+            "q_proj": dense(next(keys), (H, n_q * D), H),
+            "k_proj": dense(next(keys), (H, n_kv * D), H),
+            "v_proj": dense(next(keys), (H, n_kv * D), H),
+            "o_proj": dense(next(keys), (n_q * D, H), n_q * D),
+            "gate_proj": dense(next(keys), (H, F), H),
+            "up_proj": dense(next(keys), (H, F), H),
+            "down_proj": dense(next(keys), (F, H), F),
+        }
+        if spec.attn_bias:
+            layer["q_bias"] = jnp.zeros((n_q * D,), dtype)
+            layer["k_bias"] = jnp.zeros((n_kv * D,), dtype)
+            layer["v_bias"] = jnp.zeros((n_kv * D,), dtype)
+        params["layers"].append(layer)
+    return params
+
+
+QUANT_KEYS = ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj")
+
+
+def quantize_model(params: Params, bits: int = 8, quantize_lm_head: bool = True) -> Params:
+    """Offline weight-only quantization pass: every projection matrix becomes
+    a QuantizedTensor; embeddings and norms stay bf16 (embedding gather needs
+    the table, and norms are tiny)."""
+    quant = quantize_int8 if bits == 8 else quantize_int4
+    out = dict(params)
+    if quantize_lm_head and "lm_head" in params:
+        out["lm_head"] = quant(params["lm_head"])
+    out["layers"] = []
+    for layer in params["layers"]:
+        ql = dict(layer)
+        for k in QUANT_KEYS:
+            ql[k] = quant(layer[k])
+        out["layers"].append(ql)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# forward passes
+
+
+def _logits(params: Params, spec: ModelSpec, h: jax.Array, *, use_pallas: bool) -> jax.Array:
+    h = rms_norm(h, params["final_norm"], spec.rms_eps)
+    if spec.tie_embeddings:
+        w = params["embed"]
+        return jnp.dot(h, w.T.astype(h.dtype), preferred_element_type=jnp.float32)
+    return linear(h, params["lm_head"], use_pallas=use_pallas).astype(jnp.float32)
+
+
+def _attn_shapes(spec: ModelSpec, qkv: jax.Array, n_heads: int) -> jax.Array:
+    """[..., n*D] -> [..., n, D]"""
+    return qkv.reshape(*qkv.shape[:-1], n_heads, spec.head_dim)
+
+
+def prefill(
+    params: Params,
+    spec: ModelSpec,
+    tokens: jax.Array,      # [B, S] int32 (right-padded)
+    seq_lens: jax.Array,    # [B] int32
+    cache,                  # engine.kv_cache.PagedKVCache (written in place)
+    block_tables: jax.Array,  # [B, max_pages] int32
+    *,
+    use_pallas: bool = True,
+):
+    """Process full prompts; returns (last-token logits [B, V] f32, cache)."""
+    B, S = tokens.shape
+    h = jnp.take(params["embed"], tokens, axis=0)
+    positions = jnp.arange(S)[None, :].repeat(B, axis=0)  # [B, S]
+    cos, sin = rope_tables(positions, spec.head_dim, spec.rope_theta)
+    cos, sin = cos[:, :, None, :], sin[:, :, None, :]     # [B, S, 1, half]
+    sm_scale = 1.0 / math.sqrt(spec.head_dim)
+
+    for li, layer in enumerate(params["layers"]):
+        x = rms_norm(h, layer["input_norm"], spec.rms_eps)
+        q = linear(x, layer["q_proj"], layer.get("q_bias"), use_pallas=use_pallas)
+        k = linear(x, layer["k_proj"], layer.get("k_bias"), use_pallas=use_pallas)
+        v = linear(x, layer["v_proj"], layer.get("v_bias"), use_pallas=use_pallas)
+        q = apply_rope(_attn_shapes(spec, q, spec.n_heads), cos, sin)
+        k = apply_rope(_attn_shapes(spec, k, spec.n_kv_heads), cos, sin)
+        v = _attn_shapes(spec, v, spec.n_kv_heads)
+
+        attn = prefill_attention(q, k, v, sm_scale=sm_scale, seq_lens=seq_lens)
+        attn = attn.reshape(B, S, spec.n_heads * spec.head_dim)
+        h = h + linear(attn, layer["o_proj"], use_pallas=use_pallas)
+
+        cache = cache.write_prefill(li, k, v, block_tables, seq_lens)
+
+        x = rms_norm(h, layer["post_norm"], spec.rms_eps)
+        gate = linear(x, layer["gate_proj"], use_pallas=use_pallas)
+        up = linear(x, layer["up_proj"], use_pallas=use_pallas)
+        h = h + linear(jax.nn.silu(gate) * up, layer["down_proj"], use_pallas=use_pallas)
+
+    last = jnp.take_along_axis(h, (seq_lens - 1)[:, None, None], axis=1)[:, 0]  # [B, H]
+    return _logits(params, spec, last, use_pallas=use_pallas), cache
+
+
+def decode_step(
+    params: Params,
+    spec: ModelSpec,
+    tokens: jax.Array,        # [B] int32 (current input token)
+    positions: jax.Array,     # [B] int32 (0-based position of this token)
+    cache,                    # PagedKVCache
+    block_tables: jax.Array,  # [B, max_pages]
+    *,
+    use_pallas: bool = True,
+):
+    """One decode step for the whole batch; returns (logits [B, V] f32, cache)."""
+    B = tokens.shape[0]
+    h = jnp.take(params["embed"], tokens, axis=0)  # [B, H]
+    cos, sin = rope_tables(positions, spec.head_dim, spec.rope_theta)  # [B, half]
+    seq_lens = positions + 1
+    sm_scale = 1.0 / math.sqrt(spec.head_dim)
+    attn_fn = paged_attention if use_pallas else paged_attention_ref
+
+    for li, layer in enumerate(params["layers"]):
+        x = rms_norm(h, layer["input_norm"], spec.rms_eps)
+        q = linear(x, layer["q_proj"], layer.get("q_bias"), use_pallas=use_pallas)
+        k = linear(x, layer["k_proj"], layer.get("k_bias"), use_pallas=use_pallas)
+        v = linear(x, layer["v_proj"], layer.get("v_bias"), use_pallas=use_pallas)
+        q = apply_rope(_attn_shapes(spec, q, spec.n_heads), cos[:, None, :], sin[:, None, :])
+        k = apply_rope(_attn_shapes(spec, k, spec.n_kv_heads), cos[:, None, :], sin[:, None, :])
+        v = _attn_shapes(spec, v, spec.n_kv_heads)  # [B, n_kv, D]
+
+        cache = cache.write_decode(li, k, v, block_tables, positions)
+
+        qg = q.reshape(B, spec.n_kv_heads, spec.q_group, spec.head_dim)
+        attn = attn_fn(
+            qg,
+            cache.k_pages[li],
+            cache.k_scales[li],
+            cache.v_pages[li],
+            cache.v_scales[li],
+            block_tables,
+            seq_lens,
+            sm_scale=sm_scale,
+        )
+        attn = attn.reshape(B, spec.n_heads * spec.head_dim)
+        h = h + linear(attn, layer["o_proj"], use_pallas=use_pallas)
+
+        x = rms_norm(h, layer["post_norm"], spec.rms_eps)
+        gate = linear(x, layer["gate_proj"], use_pallas=use_pallas)
+        up = linear(x, layer["up_proj"], use_pallas=use_pallas)
+        h = h + linear(jax.nn.silu(gate) * up, layer["down_proj"], use_pallas=use_pallas)
+
+    return _logits(params, spec, h, use_pallas=use_pallas), cache

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .quant import QuantizedTensor, unpack_int4
+from .quant import QuantizedTensor, unpack_int4, unpack_int4_halves
 
 
 def _pick_block(dim: int, candidates: tuple[int, ...]) -> int:
@@ -61,7 +61,10 @@ def _matmul_int8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
         o_ref[:] = (acc_ref[:] * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-def _matmul_int4_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
+def _matmul_int4_kernel(xlo_ref, xhi_ref, w_ref, s_ref, o_ref, acc_ref):
+    # Split-half int4 layout (ops/quant.py): a packed block's low nibbles are
+    # logical K rows [k*bp, (k+1)*bp) and its high nibbles the same range
+    # offset by K/2 — contracted against two x slices, no lane interleave.
     k = pl.program_id(1)
     nk = pl.num_programs(1)
 
@@ -69,11 +72,11 @@ def _matmul_int4_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = unpack_int4(w_ref[:])  # (bk//2, bn) packed -> (bk, bn) int8
+    lo, hi = unpack_int4_halves(w_ref[:])  # each (bp, bn) int32
     acc_ref[:] += jnp.dot(
-        x_ref[:],
-        w.astype(x_ref.dtype),
-        preferred_element_type=jnp.float32,
+        xlo_ref[:], lo.astype(xlo_ref.dtype), preferred_element_type=jnp.float32
+    ) + jnp.dot(
+        xhi_ref[:], hi.astype(xhi_ref.dtype), preferred_element_type=jnp.float32
     )
 
     @pl.when(k == nk - 1)
@@ -114,8 +117,8 @@ def quantized_matmul(
     out_dtype = out_dtype or x.dtype
 
     bn = _pick_block(N, tuple(b for b in (1024, 512, 256, 128) if b <= max(block_n, 128)))
-    bk = _pick_block(K, tuple(b for b in (1024, 512, 256, 128) if b <= max(block_k, 128)))
-    if N % bn or K % bk:
+    bk = _pick_block(Kq, tuple(b for b in (1024, 512, 256, 128) if b <= max(block_k, 128)))
+    if N % bn or Kq % bk:
         # Irregular dims: fall back to the XLA reference path.
         return quantized_matmul_ref(x, q, scale, bits=bits, out_dtype=out_dtype)
 
@@ -124,18 +127,29 @@ def quantized_matmul(
     if M_pad != M:
         x = jnp.pad(x, ((0, M_pad - M), (0, 0)))
 
-    grid = (N // bn, K // bk)
-    kernel = _matmul_int8_kernel if bits == 8 else _matmul_int4_kernel
-    w_rows = bk if bits == 8 else bk // 2
+    nkb = Kq // bk  # K-axis grid size (packed-row blocks for int4)
+    grid = (N // bn, nkb)
+    common_specs = [
+        pl.BlockSpec((bk, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda j, k: (0, j), memory_space=pltpu.VMEM),
+    ]
+    if bits == 8:
+        kernel = _matmul_int8_kernel
+        x_specs = [pl.BlockSpec((M_pad, bk), lambda j, k: (0, k), memory_space=pltpu.VMEM)]
+    else:
+        kernel = _matmul_int4_kernel
+        x_specs = [
+            pl.BlockSpec((M_pad, bk), lambda j, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (M_pad, bk), lambda j, k: (0, k + nkb), memory_space=pltpu.VMEM
+            ),
+        ]
 
+    operands = ([x, x] if bits == 4 else [x]) + [q, scale.reshape(1, N)]
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((M_pad, bk), lambda j, k: (0, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((w_rows, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda j, k: (0, j), memory_space=pltpu.VMEM),
-        ],
+        in_specs=x_specs + common_specs,
         out_specs=pl.BlockSpec((M_pad, bn), lambda j, k: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M_pad, N), out_dtype),
         scratch_shapes=[pltpu.VMEM((M_pad, bn), jnp.float32)],
@@ -148,7 +162,7 @@ def quantized_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, q, scale.reshape(1, N))
+    )(*operands)
     return out[:M]
 
 

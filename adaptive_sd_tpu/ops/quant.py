@@ -9,26 +9,43 @@ Conventions
 -----------
 * Weights are stored ``[K, N]`` (in_features x out_features); quantization is
   symmetric per output channel (axis N): ``w ≈ q * scale[n]``.
-* INT4 packs two K-consecutive values per int8 byte: ``byte = lo | (hi << 4)``
-  with ``lo = q[2k]``, ``hi = q[2k+1]``, both in [-8, 7].
+* INT4 packs two values per int8 byte in a *split-half* layout:
+  ``byte[k, n] = (q[k, n] & 0xF) | (q[k + K/2, n] << 4)`` for ``k < K/2``.
+  Split-half (rather than interleaved pairs) keeps the in-kernel unpack to two
+  int32 shifts and lets the matmul kernel contract the lo/hi halves against
+  two slices of ``x`` — no lane interleave, which Mosaic cannot vectorise.
 * KV-cache INT8 uses per-(token, head) scales — see ops/attention.py.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-class QuantizedTensor(NamedTuple):
-    """Packed integer payload + dequant scales."""
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class QuantizedTensor:
+    """Packed integer payload + dequant scales.
+
+    Registered as a pytree with ``bits`` as static aux data: bit-width drives
+    kernel dispatch (int8 vs int4 kernels have different signatures), so it
+    must stay a Python int under jit tracing, while q/scale flow as arrays.
+    """
 
     q: jax.Array          # int8; [K, N] for int8, [K//2, N] for packed int4
     scale: jax.Array      # float32 [N]
     bits: int             # 8 or 4
+
+    def tree_flatten(self):
+        return (self.q, self.scale), self.bits
+
+    @classmethod
+    def tree_unflatten(cls, bits, children):
+        return cls(q=children[0], scale=children[1], bits=bits)
 
     @property
     def out_features(self) -> int:
@@ -56,27 +73,30 @@ def dequantize_int8(t: QuantizedTensor, dtype=jnp.bfloat16) -> jax.Array:
 
 
 def pack_int4(q: jax.Array) -> jax.Array:
-    """Pack int8 values in [-8, 7] pairwise along axis 0: out[k, n] holds
-    (q[2k, n] & 0xF) | (q[2k+1, n] << 4). K must be even."""
+    """Pack int8 values in [-8, 7] along axis 0, split-half layout:
+    ``out[k, n] = (q[k, n] & 0xF) | (q[k + K/2, n] << 4)``. K must be even."""
     if q.shape[0] % 2:
         raise ValueError(f"K must be even to pack int4, got {q.shape[0]}")
-    lo = q[0::2].astype(jnp.int32) & 0xF
-    hi = (q[1::2].astype(jnp.int32) & 0xF) << 4
+    half = q.shape[0] // 2
+    lo = q[:half].astype(jnp.int32) & 0xF
+    hi = (q[half:].astype(jnp.int32) & 0xF) << 4
     return (lo | hi).astype(jnp.int8)
 
 
-def unpack_int4(packed: jax.Array) -> jax.Array:
-    """Inverse of :func:`pack_int4` — sign-extends each nibble to int8.
-
-    Written with ops that lower inside Pallas kernels too (no fancy gather):
-    arithmetic shift-left then shift-right sign-extends the low nibble.
-    """
-    p = packed.astype(jnp.int8)
-    lo = (p << 4) >> 4          # low nibble, sign-extended
+def unpack_int4_halves(packed: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Sign-extended (lo_half, hi_half) int32 of a packed block. All
+    arithmetic is int32 — Mosaic vectorises i32 shifts but not i8 ones — so
+    this same code runs inside Pallas kernels."""
+    p = packed.astype(jnp.int32)
+    lo = (p << 28) >> 28        # low nibble, sign-extended
     hi = p >> 4                 # high nibble (arithmetic shift keeps sign)
-    k2, n = p.shape
-    # interleave back to K order: [lo0, hi0, lo1, hi1, ...]
-    return jnp.stack([lo, hi], axis=1).reshape(k2 * 2, n)
+    return lo, hi
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """Inverse of :func:`pack_int4`: [K/2, N] packed -> [K, N] int8."""
+    lo, hi = unpack_int4_halves(packed)
+    return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
 
 
 def quantize_int4(w: jax.Array, axis: int = 0) -> QuantizedTensor:

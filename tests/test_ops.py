@@ -68,7 +68,9 @@ class TestQuantizedMatmul:
         t = quantize_int8(w) if bits == 8 else quantize_int4(w)
         ref = quantized_matmul_ref(x, t.q, t.scale, bits=bits)
         ker = quantized_matmul(x, t.q, t.scale, bits=bits, interpret=True)
-        np.testing.assert_allclose(np.asarray(ker), np.asarray(ref), rtol=1e-5, atol=1e-5)
+        # atol covers f32 accumulation-order differences (the int4 kernel
+        # contracts lo/hi halves as two dots).
+        np.testing.assert_allclose(np.asarray(ker), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
     def test_irregular_dims_fall_back(self, rng):
         w = jnp.asarray(rng.normal(size=(100, 96)).astype(np.float32))
