@@ -1,0 +1,412 @@
+"""AdaptiveCascadePipeline — the serving orchestrator.
+
+Role parity: reference ``AdaptiveSpeculativePipeline``
+(``src/serving/pipeline.py:90-423``): per-request stage loop with cache check,
+generation, acceptance prediction (last stage pinned to 1.0), Bayesian risk
+adjustment, DP stopping, cache truncation at the stopping stage, EMA stats
+(alpha=0.01), async + batch entry points, update_lambda, warmup, shutdown.
+
+Deliberate deviations (SURVEY.md §7 "what NOT to replicate"):
+* The stopping rule is *forward-looking*: the DP runs over the full horizon
+  with predictor probabilities for visited stages and running-prior
+  probabilities for future ones, stopping when the optimal stage is the
+  current one or earlier (policy/dp.py Bellman form). The reference evaluates
+  the DP on the visited prefix only, which cannot weigh future escalation.
+* ``batch_process`` genuinely batches each tier across requests (the
+  reference's is a sequential loop marked TODO).
+* No NameError-class scope bugs: all state is explicit per-request.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..core.exceptions import OptimizationError
+from ..core.types import (
+    OptimizationDecision,
+    ProcessingResult,
+    RequestContext,
+    StageResult,
+)
+from ..policy.dp import bayesian_adjustment, optimal_stopping_rule
+from .cache_manager import CascadeCacheManager
+from .stages import StageManager
+
+
+@dataclass
+class PipelineConfig:
+    """reference src/serving/pipeline.py:22-31."""
+
+    lam: float = 1.0
+    risk_alpha: float = 1.0
+    risk_beta: float = 1.0
+    enable_caching: bool = True
+    max_concurrent: int = 100
+    max_new_tokens: int = 256
+    ema_alpha: float = 0.01
+    prior_quality: Sequence[float] = (0.7, 0.8, 0.85, 0.95)
+    quality_floor: float = 0.0   # optional hard floor: escalate if p below it
+    cache_ttl_s: float = 1800.0
+    cache_max_bytes: int = 1 << 30
+
+
+class AdaptiveCascadePipeline:
+    def __init__(
+        self,
+        stages: StageManager,
+        predictor,                       # predict.MLPQualityPredictor-like
+        config: Optional[PipelineConfig] = None,
+        cache: Optional[CascadeCacheManager] = None,
+        costs: Optional[Sequence[float]] = None,
+    ) -> None:
+        self.stages = stages
+        self.predictor = predictor
+        self.config = config or PipelineConfig()
+        self.cache = cache or CascadeCacheManager(
+            max_bytes=self.config.cache_max_bytes, ttl_s=self.config.cache_ttl_s
+        )
+        self.costs = list(costs) if costs is not None else stages.costs()
+        if len(self.costs) != len(stages):
+            raise ValueError("costs length must match stage count")
+        n = len(stages)
+        self._lam = self.config.lam
+        # Running acceptance priors per stage (Bayesian pseudo-counts).
+        prior = list(self.config.prior_quality)[:n]
+        prior += [0.9] * (n - len(prior))
+        self._prior_p = np.asarray(prior, np.float64)
+        self._obs_n = np.zeros(n, np.int64)
+        self._obs_sum = np.zeros(n, np.float64)
+        self._lock = threading.RLock()
+        self._executor = ThreadPoolExecutor(max_workers=self.config.max_concurrent)
+        self._stats = {
+            "total_requests": 0,
+            "errors": 0,
+            "cache_hits": 0,
+            "ema_latency_s": 0.0,
+            "ema_cost": 0.0,
+            "ema_quality_pred": 0.0,
+            "ema_stages_run": 0.0,
+            "stage_counts": [0] * n,
+            "early_stop_count": 0,
+            "lambda": self._lam,
+        }
+        self._shutdown = False
+
+    # ------------------------------------------------------------------ util
+    @property
+    def n_stages(self) -> int:
+        return len(self.stages)
+
+    def _stage_prior(self, i: int) -> float:
+        if self._obs_n[i] > 0:
+            emp = self._obs_sum[i] / self._obs_n[i]
+            # blend empirical acceptance with the configured prior
+            w = min(self._obs_n[i] / 50.0, 1.0)
+            return float(w * emp + (1 - w) * self._prior_p[i])
+        return float(self._prior_p[i])
+
+    def _decide(self, probs_visited: list[float], lam: float) -> tuple[int, float]:
+        """Forward-looking DP: visited stages use predictor probs, future
+        stages use running priors; returns (k_star, expected_value_at_0)."""
+        n = self.n_stages
+        p = [0.0] * n
+        for i, v in enumerate(probs_visited):
+            p[i] = v
+        for i in range(len(probs_visited), n):
+            p[i] = self._stage_prior(i)
+        p[n - 1] = max(p[n - 1], 1.0 if len(probs_visited) == n else p[n - 1])
+        k_star, V = optimal_stopping_rule(p, self.costs, lam)
+        return k_star, float(V[0])
+
+    # ------------------------------------------------------------- main path
+    def process_request(self, request: RequestContext) -> ProcessingResult:
+        if self._shutdown:
+            raise OptimizationError("pipeline is shut down")
+        t0 = time.perf_counter()
+        lam = request.lambda_override if request.lambda_override is not None else self._lam
+        stage_results: list[StageResult] = []
+        decision: Optional[OptimizationDecision] = None
+        probs: list[float] = []
+        raw_probs: list[float] = []
+        final_idx = self.n_stages - 1
+        cached_flag = False
+        error: Optional[str] = None
+
+        try:
+            for i, stage in enumerate(self.stages):
+                cached = (
+                    self.cache.get(request.request_id, i) if self.config.enable_caching else None
+                )
+                if cached is not None:
+                    output = cached
+                    with self._lock:
+                        self._stats["cache_hits"] += 1
+                    cached_flag = True
+                else:
+                    output = stage.generate_text(
+                        [request.prompt],
+                        max_new=request.max_tokens,
+                        temperature=request.temperature,
+                        top_p=request.top_p,
+                    )[0]
+                    if self.config.enable_caching:
+                        size = len(output.text.encode()) + (
+                            output.logprobs.nbytes if output.logprobs is not None else 0
+                        )
+                        self.cache.put(request.request_id, i, output, size)
+
+                is_last = i == self.n_stages - 1
+                t_dec = time.perf_counter()
+                if is_last:
+                    p_raw = 1.0  # reference pipeline.py:242 pins the last stage
+                    pred = None
+                else:
+                    pred = self.predictor.predict(
+                        request.prompt, output.text, output.logprobs, i
+                    )
+                    p_raw = float(np.clip(pred.quality_score, 0.0, 1.0))
+                raw_probs.append(p_raw)
+                p_adj = bayesian_adjustment(
+                    p_raw,
+                    int(self._obs_n[i]),
+                    alpha=self.config.risk_alpha,
+                    beta=self.config.risk_beta,
+                ) if not is_last else 1.0
+                probs.append(p_adj)
+
+                k_star, v0 = self._decide(probs, lam)
+                dec_time = time.perf_counter() - t_dec
+                stop = k_star <= i or is_last
+                if self.config.quality_floor and p_adj < self.config.quality_floor:
+                    stop = is_last  # hard floor: keep escalating
+                stage_results.append(
+                    StageResult(
+                        stage_index=i,
+                        stage_name=stage.name,
+                        output=output,
+                        prediction=pred,
+                        accepted=stop,
+                        cost=self.costs[i],
+                        latency_s=output.generation_time_s,
+                    )
+                )
+                with self._lock:
+                    self._obs_n[i] += 1
+                    self._obs_sum[i] += p_raw
+                if stop:
+                    final_idx = i
+                    decision = OptimizationDecision(
+                        selected_stage=i,
+                        stop=True,
+                        expected_cost=v0,
+                        acceptance_probs=list(raw_probs),
+                        adjusted_probs=list(probs),
+                        lambda_value=lam,
+                        decision_time_s=dec_time,
+                        rationale=f"DP k*={k_star} at stage {i}",
+                    )
+                    break
+
+            if self.config.enable_caching:
+                self.cache.truncate_at_stage(request.request_id, final_idx)
+        except Exception as exc:  # noqa: BLE001 - uniform error capture
+            error = f"{type(exc).__name__}: {exc}"
+
+        latency = time.perf_counter() - t0
+        final = stage_results[-1] if stage_results else None
+        result = ProcessingResult(
+            request_id=request.request_id,
+            text=final.output.text if final else "",
+            final_stage=final_idx if final else -1,
+            final_stage_name=final.stage_name if final else "",
+            total_latency_s=latency,
+            total_cost=self.costs[final_idx] if final else 0.0,
+            stage_results=stage_results,
+            decision=decision,
+            cached=cached_flag,
+            error=error,
+        )
+        self._update_stats(result)
+        return result
+
+    def process_request_async(self, request: RequestContext):
+        """Thread-pool future (reference pipeline.py:144-163)."""
+        return self._executor.submit(self.process_request, request)
+
+    def batch_process(self, requests: Sequence[RequestContext]) -> list[ProcessingResult]:
+        """True tier-level batching: all still-active requests run each tier
+        together, so the engine sees real batches."""
+        if not requests:
+            return []
+        t0 = time.perf_counter()
+        n_req = len(requests)
+        active = list(range(n_req))
+        probs: list[list[float]] = [[] for _ in range(n_req)]
+        raw_probs: list[list[float]] = [[] for _ in range(n_req)]
+        stage_results: list[list[StageResult]] = [[] for _ in range(n_req)]
+        finals = [self.n_stages - 1] * n_req
+        decisions: list[Optional[OptimizationDecision]] = [None] * n_req
+
+        for i, stage in enumerate(self.stages):
+            if not active:
+                break
+            outs = stage.generate_text(
+                [requests[r].prompt for r in active],
+                max_new=max(requests[r].max_tokens for r in active),
+                temperature=max(requests[r].temperature for r in active),
+                top_p=1.0,
+            )
+            is_last = i == self.n_stages - 1
+            still_active = []
+            for out, r in zip(outs, active):
+                req = requests[r]
+                lam = req.lambda_override if req.lambda_override is not None else self._lam
+                if is_last:
+                    p_raw, pred = 1.0, None
+                else:
+                    pred = self.predictor.predict(req.prompt, out.text, out.logprobs, i)
+                    p_raw = float(np.clip(pred.quality_score, 0.0, 1.0))
+                raw_probs[r].append(p_raw)
+                p_adj = (
+                    1.0
+                    if is_last
+                    else bayesian_adjustment(
+                        p_raw, int(self._obs_n[i]),
+                        alpha=self.config.risk_alpha, beta=self.config.risk_beta,
+                    )
+                )
+                probs[r].append(p_adj)
+                k_star, v0 = self._decide(probs[r], lam)
+                stop = k_star <= i or is_last
+                stage_results[r].append(
+                    StageResult(
+                        stage_index=i,
+                        stage_name=stage.name,
+                        output=out,
+                        prediction=pred,
+                        accepted=stop,
+                        cost=self.costs[i],
+                        latency_s=out.generation_time_s,
+                    )
+                )
+                with self._lock:
+                    self._obs_n[i] += 1
+                    self._obs_sum[i] += p_raw
+                if stop:
+                    finals[r] = i
+                    decisions[r] = OptimizationDecision(
+                        selected_stage=i,
+                        stop=True,
+                        expected_cost=v0,
+                        acceptance_probs=list(raw_probs[r]),
+                        adjusted_probs=list(probs[r]),
+                        lambda_value=lam,
+                        rationale=f"DP k*={k_star} at stage {i} (batch)",
+                    )
+                else:
+                    still_active.append(r)
+            active = still_active
+
+        latency = time.perf_counter() - t0
+        results = []
+        for r, req in enumerate(requests):
+            final = stage_results[r][-1]
+            res = ProcessingResult(
+                request_id=req.request_id,
+                text=final.output.text,
+                final_stage=finals[r],
+                final_stage_name=final.stage_name,
+                total_latency_s=latency,
+                total_cost=self.costs[finals[r]],
+                stage_results=stage_results[r],
+                decision=decisions[r],
+            )
+            self._update_stats(res)
+            results.append(res)
+        return results
+
+    # ----------------------------------------------------------------- admin
+    def update_lambda(self, lam: float) -> None:
+        if not 0.01 <= lam <= 100.0:  # reference server.py:70-72 bounds
+            raise ValueError(f"lambda must be in [0.01, 100], got {lam}")
+        with self._lock:
+            self._lam = lam
+            self._stats["lambda"] = lam
+
+    @property
+    def lam(self) -> float:
+        return self._lam
+
+    def _update_stats(self, result: ProcessingResult) -> None:
+        a = self.config.ema_alpha
+        with self._lock:
+            s = self._stats
+            s["total_requests"] += 1
+            if result.error:
+                s["errors"] += 1
+                return
+            s["ema_latency_s"] += a * (result.total_latency_s - s["ema_latency_s"])
+            s["ema_cost"] += a * (result.total_cost - s["ema_cost"])
+            n_run = len(result.stage_results)
+            s["ema_stages_run"] += a * (n_run - s["ema_stages_run"])
+            s["stage_counts"][result.final_stage] += 1
+            if result.final_stage < self.n_stages - 1:
+                s["early_stop_count"] += 1
+            if result.decision and result.decision.acceptance_probs:
+                q = result.decision.acceptance_probs[-1]
+                s["ema_quality_pred"] += a * (q - s["ema_quality_pred"])
+
+    def get_stats(self) -> dict:
+        with self._lock:
+            s = dict(self._stats)
+        total = max(s["total_requests"], 1)
+        s["stage_distribution"] = [c / total for c in s["stage_counts"]]
+        s["early_stop_rate"] = s["early_stop_count"] / total
+        s["error_rate"] = s["errors"] / total
+        s["cache"] = self.cache.stats()
+        s["acceptance_priors"] = [self._stage_prior(i) for i in range(self.n_stages)]
+        return s
+
+    def reset_stats(self) -> None:
+        with self._lock:
+            n = self.n_stages
+            self._stats.update(
+                {
+                    "total_requests": 0,
+                    "errors": 0,
+                    "cache_hits": 0,
+                    "ema_latency_s": 0.0,
+                    "ema_cost": 0.0,
+                    "ema_quality_pred": 0.0,
+                    "ema_stages_run": 0.0,
+                    "stage_counts": [0] * n,
+                    "early_stop_count": 0,
+                }
+            )
+
+    def warmup(self) -> None:
+        """reference pipeline.py:385-410 (5 canned prompts)."""
+        prompts = [
+            "What is 2 + 2?",
+            "Write a haiku about mountains.",
+            "Explain gravity briefly.",
+            "def fib(n):",
+            "Name the capital of France.",
+        ]
+        for p in prompts:
+            try:
+                self.process_request(RequestContext(prompt=p, max_tokens=16))
+            except Exception:  # noqa: BLE001 - warmup is best-effort
+                pass
+        self.reset_stats()
+
+    def shutdown(self) -> None:
+        self._shutdown = True
+        self._executor.shutdown(wait=True, cancel_futures=True)
+        self.cache.shutdown()

@@ -116,8 +116,9 @@ def quantized_matmul(
         raise ValueError(f"K mismatch: x has {K}, q encodes {K_logical}")
     out_dtype = out_dtype or x.dtype
 
-    bn = _pick_block(N, tuple(b for b in (1024, 512, 256, 128) if b <= max(block_n, 128)))
-    bk = _pick_block(Kq, tuple(b for b in (1024, 512, 256, 128) if b <= max(block_k, 128)))
+    _CANDS = (8192, 4096, 2048, 1024, 512, 256, 128)
+    bn = _pick_block(N, tuple(b for b in _CANDS if b <= max(block_n, 128)))
+    bk = _pick_block(Kq, tuple(b for b in _CANDS if b <= max(block_k, 128)))
     if N % bn or Kq % bk:
         # Irregular dims: fall back to the XLA reference path.
         return quantized_matmul_ref(x, q, scale, bits=bits, out_dtype=out_dtype)

@@ -1,0 +1,288 @@
+"""Quality-predictor MLP in pure JAX/optax.
+
+Role parity: reference ``ResearchQualityPredictor`` (torch MLP
+128->[256,128,64]->1 sigmoid with batchnorm, scripts/train_predictor.py:57-91)
+and the missing ``src/models/predictor.py`` contract (predict(prompt, draft,
+logprobs, stage) -> prob, loaded from a checkpoint,
+src/serving/server.py:168-176). TPU-first: the forward pass is a jnp function
+that jit-fuses into the decode graph, so the stopping decision can be
+evaluated on-device without a host round-trip (SURVEY.md §7 "on-device
+stopping"); training uses optax (AdamW + cosine decay + grad clip + early
+stopping + k-fold CV, mirroring the reference recipe).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import time
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.types import PredictionResult
+from .features import FEATURE_DIM, extract_features
+
+Params = dict
+
+
+def _init_mlp(key: jax.Array, sizes: Sequence[int]) -> Params:
+    params = {"w": [], "b": []}
+    keys = jax.random.split(key, len(sizes) - 1)
+    for k, (fan_in, fan_out) in zip(keys, zip(sizes[:-1], sizes[1:])):
+        params["w"].append(jax.random.normal(k, (fan_in, fan_out)) * jnp.sqrt(2.0 / fan_in))
+        params["b"].append(jnp.zeros((fan_out,)))
+    return params
+
+
+def mlp_forward(params: Params, x: jax.Array) -> jax.Array:
+    """x: [..., F] -> acceptance probability [...] in (0,1). Pure jnp — usable
+    inline inside a jitted decode step."""
+    h = x
+    n = len(params["w"])
+    for i, (w, b) in enumerate(zip(params["w"], params["b"])):
+        h = h @ w + b
+        if i < n - 1:
+            h = jax.nn.relu(h)
+    return jax.nn.sigmoid(h[..., 0])
+
+
+@dataclass
+class TrainReport:
+    train_losses: list[float] = field(default_factory=list)
+    val_losses: list[float] = field(default_factory=list)
+    val_auc: float = 0.0
+    val_r2: float = 0.0
+    best_epoch: int = 0
+    epochs_run: int = 0
+    train_time_s: float = 0.0
+    fold_metrics: list[dict] = field(default_factory=list)
+
+
+class MLPQualityPredictor:
+    """Feature-standardising MLP predictor with save/load."""
+
+    def __init__(
+        self,
+        feature_dim: int = FEATURE_DIM,
+        hidden: Sequence[int] = (128, 64),
+        n_stages: int = 4,
+        seed: int = 0,
+    ) -> None:
+        self.feature_dim = feature_dim
+        self.hidden = tuple(hidden)
+        self.n_stages = n_stages
+        self.params = _init_mlp(jax.random.key(seed), [feature_dim, *hidden, 1])
+        self.mean = np.zeros(feature_dim, np.float32)
+        self.std = np.ones(feature_dim, np.float32)
+        self._forward = jax.jit(mlp_forward)
+        self.calibration: tuple[float, float] = (1.0, 0.0)  # (scale, shift) on logit
+
+    # -- inference -----------------------------------------------------------
+    def predict_features(self, feats: np.ndarray) -> np.ndarray:
+        x = (np.atleast_2d(feats) - self.mean) / self.std
+        p = np.asarray(self._forward(self.params, jnp.asarray(x)))
+        a, b = self.calibration
+        if (a, b) != (1.0, 0.0):
+            logit = np.log(np.clip(p, 1e-7, 1 - 1e-7) / np.clip(1 - p, 1e-7, 1))
+            p = 1.0 / (1.0 + np.exp(-(a * logit + b)))
+        return p
+
+    def predict(
+        self,
+        prompt: str,
+        draft_output: str,
+        draft_logprobs: Optional[np.ndarray],
+        stage_index: int,
+    ) -> PredictionResult:
+        t0 = time.perf_counter()
+        feats = extract_features(
+            prompt, draft_output, draft_logprobs, stage_index, n_stages=self.n_stages
+        )
+        p = float(self.predict_features(feats)[0])
+        return PredictionResult(
+            quality_score=p,
+            confidence=abs(p - 0.5) * 2.0,
+            features=feats,
+            prediction_time_s=time.perf_counter() - t0,
+            predictor_name="mlp",
+        )
+
+    def predict_batch(self, items) -> list[PredictionResult]:
+        return [self.predict(*it) for it in items]
+
+    def normalized_params(self):
+        """(params, mean, std) as jnp arrays — for inline on-device use."""
+        return self.params, jnp.asarray(self.mean), jnp.asarray(self.std)
+
+    # -- training ------------------------------------------------------------
+    def fit(
+        self,
+        X: np.ndarray,
+        y: np.ndarray,
+        *,
+        epochs: int = 100,
+        batch_size: int = 256,
+        lr: float = 1e-3,
+        weight_decay: float = 1e-4,
+        val_frac: float = 0.15,
+        patience: int = 10,
+        seed: int = 0,
+        k_fold: int = 0,
+    ) -> TrainReport:
+        """BCE training with AdamW + cosine schedule + grad clip + early
+        stopping; optional k-fold CV reporting (reference
+        scripts/train_predictor.py:261-466)."""
+        t_start = time.perf_counter()
+        X = np.asarray(X, np.float32)
+        y = np.asarray(y, np.float32)
+        self.mean = X.mean(axis=0)
+        self.std = X.std(axis=0) + 1e-6
+        Xn = (X - self.mean) / self.std
+
+        report = TrainReport()
+        if k_fold and k_fold > 1:
+            idx = np.random.default_rng(seed).permutation(len(Xn))
+            folds = np.array_split(idx, k_fold)
+            for fi in range(k_fold):
+                val_idx = folds[fi]
+                tr_idx = np.concatenate([folds[j] for j in range(k_fold) if j != fi])
+                m, rep = self._train_one(
+                    Xn[tr_idx], y[tr_idx], Xn[val_idx], y[val_idx],
+                    epochs, batch_size, lr, weight_decay, patience, seed + fi,
+                )
+                report.fold_metrics.append(
+                    {"fold": fi, "val_auc": rep.val_auc, "val_r2": rep.val_r2}
+                )
+            # final model trained on everything (standard practice)
+
+        rng = np.random.default_rng(seed)
+        perm = rng.permutation(len(Xn))
+        n_val = max(int(len(Xn) * val_frac), 1)
+        val_idx, tr_idx = perm[:n_val], perm[n_val:]
+        self.params, rep = self._train_one(
+            Xn[tr_idx], y[tr_idx], Xn[val_idx], y[val_idx],
+            epochs, batch_size, lr, weight_decay, patience, seed,
+        )
+        rep.fold_metrics = report.fold_metrics
+        rep.train_time_s = time.perf_counter() - t_start
+        return rep
+
+    def _train_one(
+        self, Xtr, ytr, Xval, yval, epochs, batch_size, lr, weight_decay, patience, seed
+    ):
+        params = _init_mlp(jax.random.key(seed), [self.feature_dim, *self.hidden, 1])
+        steps_per_epoch = max(len(Xtr) // batch_size, 1)
+        sched = optax.cosine_decay_schedule(lr, epochs * steps_per_epoch)
+        tx = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adamw(sched, weight_decay=weight_decay),
+        )
+        opt_state = tx.init(params)
+
+        def loss_fn(p, xb, yb):
+            pred = mlp_forward(p, xb)
+            pred = jnp.clip(pred, 1e-7, 1 - 1e-7)
+            return -jnp.mean(yb * jnp.log(pred) + (1 - yb) * jnp.log(1 - pred))
+
+        @jax.jit
+        def step(p, s, xb, yb):
+            l, g = jax.value_and_grad(loss_fn)(p, xb, yb)
+            updates, s = tx.update(g, s, p)
+            return optax.apply_updates(p, updates), s, l
+
+        val_x, val_y = jnp.asarray(Xval), jnp.asarray(yval)
+        rep = TrainReport()
+        best_val = np.inf
+        best_params = params
+        bad = 0
+        rng = np.random.default_rng(seed)
+        for epoch in range(epochs):
+            order = rng.permutation(len(Xtr))
+            ep_loss = 0.0
+            for i in range(steps_per_epoch):
+                sl = order[i * batch_size : (i + 1) * batch_size]
+                params, opt_state, l = step(
+                    params, opt_state, jnp.asarray(Xtr[sl]), jnp.asarray(ytr[sl])
+                )
+                ep_loss += float(l)
+            vl = float(loss_fn(params, val_x, val_y))
+            rep.train_losses.append(ep_loss / steps_per_epoch)
+            rep.val_losses.append(vl)
+            if vl < best_val - 1e-5:
+                best_val, best_params, bad = vl, params, 0
+                rep.best_epoch = epoch
+            else:
+                bad += 1
+                if bad >= patience:
+                    break
+        rep.epochs_run = len(rep.train_losses)
+
+        pv = np.asarray(mlp_forward(best_params, val_x))
+        rep.val_auc = _auc(yval, pv)
+        ss_res = float(np.sum((yval - pv) ** 2))
+        ss_tot = float(np.sum((yval - yval.mean()) ** 2)) or 1e-12
+        rep.val_r2 = 1.0 - ss_res / ss_tot
+        return best_params, rep
+
+    # -- persistence ---------------------------------------------------------
+    def save(self, path: str) -> None:
+        p = pathlib.Path(path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        flat = {}
+        for i, (w, b) in enumerate(zip(self.params["w"], self.params["b"])):
+            flat[f"w{i}"] = np.asarray(w)
+            flat[f"b{i}"] = np.asarray(b)
+        np.savez(
+            p,
+            mean=self.mean,
+            std=self.std,
+            calibration=np.asarray(self.calibration),
+            meta=json.dumps(
+                {
+                    "feature_dim": self.feature_dim,
+                    "hidden": list(self.hidden),
+                    "n_stages": self.n_stages,
+                    "n_layers": len(self.params["w"]),
+                }
+            ),
+            **flat,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "MLPQualityPredictor":
+        data = np.load(path, allow_pickle=False)
+        meta = json.loads(str(data["meta"]))
+        self = cls(meta["feature_dim"], meta["hidden"], meta["n_stages"])
+        self.params = {
+            "w": [jnp.asarray(data[f"w{i}"]) for i in range(meta["n_layers"])],
+            "b": [jnp.asarray(data[f"b{i}"]) for i in range(meta["n_layers"])],
+        }
+        self.mean = data["mean"]
+        self.std = data["std"]
+        self.calibration = tuple(float(v) for v in data["calibration"])
+        return self
+
+
+def _auc(y: np.ndarray, p: np.ndarray) -> float:
+    """Rank-based AUC without sklearn (ties handled by average rank)."""
+    y = np.asarray(y) > 0.5
+    n_pos, n_neg = int(y.sum()), int((~y).sum())
+    if n_pos == 0 or n_neg == 0:
+        return 0.5
+    order = np.argsort(p, kind="mergesort")
+    ranks = np.empty(len(p), np.float64)
+    sorted_p = p[order]
+    i = 0
+    r = np.arange(1, len(p) + 1, dtype=np.float64)
+    while i < len(p):
+        j = i
+        while j + 1 < len(p) and sorted_p[j + 1] == sorted_p[i]:
+            j += 1
+        ranks[order[i : j + 1]] = r[i : j + 1].mean()
+        i = j + 1
+    return float((ranks[y].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))

@@ -1,0 +1,173 @@
+"""Integration tests for the cascade: cache manager, pipeline behaviour with
+mock stages + trained predictor, lambda monotonicity, batch path."""
+
+import time
+
+import numpy as np
+import pytest
+
+from adaptive_sd_tpu.cascade import (
+    AdaptiveCascadePipeline,
+    CascadeCacheManager,
+    MockStage,
+    PipelineConfig,
+    StageManager,
+)
+from adaptive_sd_tpu.core.types import RequestContext
+from adaptive_sd_tpu.predict import MLPQualityPredictor, generate_synthetic
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    X, y, _ = generate_synthetic(n_prompts=400, seed=0)
+    m = MLPQualityPredictor()
+    m.fit(X, y, epochs=25, patience=5)
+    return m
+
+
+@pytest.fixture()
+def stages():
+    return StageManager(
+        [
+            MockStage("7b", cost_per_token=1.0, capacity=0.45),
+            MockStage("14b", cost_per_token=2.0, capacity=0.65),
+            MockStage("32b", cost_per_token=4.5, capacity=0.8),
+            MockStage("72b", cost_per_token=10.0, capacity=0.97),
+        ]
+    )
+
+
+class TestCacheManager:
+    def test_put_get(self):
+        c = CascadeCacheManager(max_bytes=1000)
+        assert c.put("r1", 0, "value", 100)
+        assert c.get("r1", 0) == "value"
+        assert c.get("r1", 1) is None
+        s = c.stats()
+        assert s["hits"] == 1 and s["misses"] == 1
+
+    def test_lru_eviction(self):
+        c = CascadeCacheManager(max_bytes=250)
+        c.put("a", 0, "x", 100)
+        c.put("b", 0, "y", 100)
+        c.get("a", 0)  # touch a -> b is LRU
+        c.put("c", 0, "z", 100)  # evicts b
+        assert c.get("b", 0) is None
+        assert c.get("a", 0) == "x"
+        assert c.stats()["evictions"] == 1
+
+    def test_oversize_rejected(self):
+        c = CascadeCacheManager(max_bytes=100)
+        assert not c.put("r", 0, "big", 200)
+
+    def test_truncate_at_stage(self):
+        c = CascadeCacheManager(max_bytes=10_000)
+        for s in range(4):
+            c.put("r", s, f"v{s}", 10)
+        freed = c.truncate_at_stage("r", 1)
+        assert freed == 20
+        assert c.get("r", 0) == "v0" and c.get("r", 1) == "v1"
+        assert c.get("r", 2) is None and c.get("r", 3) is None
+
+    def test_cleanup_request(self):
+        c = CascadeCacheManager(max_bytes=10_000)
+        c.put("r", 0, "a", 10)
+        c.put("r", 1, "b", 10)
+        assert c.cleanup_request("r") == 20
+        assert c.stats()["entries"] == 0
+
+    def test_ttl_expiry(self):
+        c = CascadeCacheManager(max_bytes=1000, ttl_s=0.05)
+        c.put("r", 0, "v", 10)
+        time.sleep(0.08)
+        assert c.get("r", 0) is None
+        c.put("r", 1, "v", 10)
+        time.sleep(0.08)
+        assert c.cleanup_expired() == 1
+
+
+class TestPipeline:
+    def test_processes_and_stops(self, stages, predictor):
+        pipe = AdaptiveCascadePipeline(stages, predictor, PipelineConfig(lam=1.0))
+        res = pipe.process_request(RequestContext(prompt="What is the capital of France?"))
+        assert res.succeeded
+        assert 0 <= res.final_stage < 4
+        assert res.text
+        assert res.decision is not None and res.decision.stop
+
+    def test_lambda_monotone_stage_usage(self, stages, predictor):
+        """Higher lambda (cost-sensitive) must not escalate more than lower."""
+        rng = np.random.default_rng(0)
+        prompts = [f"question {i} about topic {rng.integers(100)}" for i in range(40)]
+
+        def avg_stage(lam):
+            pipe = AdaptiveCascadePipeline(
+                stages, predictor, PipelineConfig(lam=lam, enable_caching=False)
+            )
+            outs = [pipe.process_request(RequestContext(prompt=p)) for p in prompts]
+            return np.mean([o.final_stage for o in outs])
+
+        assert avg_stage(20.0) <= avg_stage(0.05) + 1e-9
+
+    def test_update_lambda_bounds(self, stages, predictor):
+        pipe = AdaptiveCascadePipeline(stages, predictor)
+        pipe.update_lambda(5.0)
+        assert pipe.lam == 5.0
+        with pytest.raises(ValueError):
+            pipe.update_lambda(0.001)
+        with pytest.raises(ValueError):
+            pipe.update_lambda(500)
+
+    def test_stats_accumulate(self, stages, predictor):
+        pipe = AdaptiveCascadePipeline(stages, predictor)
+        for i in range(5):
+            pipe.process_request(RequestContext(prompt=f"prompt {i}"))
+        s = pipe.get_stats()
+        assert s["total_requests"] == 5
+        assert abs(sum(s["stage_distribution"]) - 1.0) < 1e-9
+        pipe.reset_stats()
+        assert pipe.get_stats()["total_requests"] == 0
+
+    def test_async_path(self, stages, predictor):
+        pipe = AdaptiveCascadePipeline(stages, predictor)
+        futs = [
+            pipe.process_request_async(RequestContext(prompt=f"async {i}")) for i in range(4)
+        ]
+        outs = [f.result(timeout=30) for f in futs]
+        assert all(o.succeeded for o in outs)
+
+    def test_batch_process_batches_stages(self, predictor):
+        counting = [
+            MockStage("s0", cost_per_token=1.0, capacity=0.5),
+            MockStage("s1", cost_per_token=4.0, capacity=0.97),
+        ]
+        pipe = AdaptiveCascadePipeline(StageManager(counting), predictor)
+        reqs = [RequestContext(prompt=f"batch prompt {i}") for i in range(6)]
+        outs = pipe.batch_process(reqs)
+        assert len(outs) == 6 and all(o.succeeded for o in outs)
+        # stage 0 sees all 6 in ONE call
+        assert counting[0].calls == 6
+
+    def test_lambda_override_per_request(self, stages, predictor):
+        pipe = AdaptiveCascadePipeline(stages, predictor, PipelineConfig(lam=1.0))
+        res = pipe.process_request(
+            RequestContext(prompt="override me", lambda_override=50.0)
+        )
+        assert res.decision.lambda_value == 50.0
+
+    def test_warmup_and_shutdown(self, stages, predictor):
+        pipe = AdaptiveCascadePipeline(stages, predictor)
+        pipe.warmup()
+        assert pipe.get_stats()["total_requests"] == 0  # warmup resets
+        pipe.shutdown()
+        from adaptive_sd_tpu.core.exceptions import OptimizationError
+
+        with pytest.raises(OptimizationError):
+            pipe.process_request(RequestContext(prompt="after shutdown"))
+
+    def test_cache_hit_on_repeat_request_id(self, stages, predictor):
+        pipe = AdaptiveCascadePipeline(stages, predictor)
+        req = RequestContext(prompt="cached prompt", request_id="fixed-id")
+        pipe.process_request(req)
+        pipe.process_request(RequestContext(prompt="cached prompt", request_id="fixed-id"))
+        assert pipe.get_stats()["cache_hits"] >= 1

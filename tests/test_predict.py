@@ -1,0 +1,121 @@
+"""Tests for the predictor layer: features, MLP training, ensemble, data gen."""
+
+import numpy as np
+import pytest
+
+from adaptive_sd_tpu.predict import (
+    FEATURE_DIM,
+    EnsembleQualityPredictor,
+    MLPQualityPredictor,
+    extract_features,
+    generate_synthetic,
+    ngram_similarity,
+)
+
+
+class TestFeatures:
+    def test_shape_and_finite(self):
+        f = extract_features("What is 2+2?", "4", np.asarray([-0.1, -0.2]), 0)
+        assert f.shape == (FEATURE_DIM,) and np.all(np.isfinite(f))
+
+    def test_handles_missing_logprobs(self):
+        f = extract_features("prompt", "draft", None, 1)
+        assert f.shape == (FEATURE_DIM,)
+
+    def test_stage_onehot_differs(self):
+        f0 = extract_features("p", "d", None, 0)
+        f2 = extract_features("p", "d", None, 2)
+        assert not np.array_equal(f0, f2)
+
+    def test_confident_logprobs_move_features(self):
+        good = extract_features("p", "d", np.full(20, -0.1), 0)
+        bad = extract_features("p", "d", np.full(20, -5.0), 0)
+        assert good[16] > bad[16]  # mean logprob feature
+
+    def test_task_indicators(self):
+        f_code = extract_features("def foo(): return 1", "x", None, 0)
+        f_plain = extract_features("hello there friend", "x", None, 0)
+        assert f_code[32] == 1.0 and f_plain[32] == 0.0
+
+
+class TestNgramSimilarity:
+    def test_identical(self):
+        assert ngram_similarity("the cat sat on the mat", "the cat sat on the mat") > 0.99
+
+    def test_disjoint(self):
+        assert ngram_similarity("alpha beta gamma delta", "one two three four") < 0.01
+
+    def test_partial_ordering(self):
+        ref = "the quick brown fox jumps over the lazy dog"
+        close = "the quick brown fox jumps over a lazy dog"
+        far = "a completely different sentence here now"
+        assert ngram_similarity(close, ref) > ngram_similarity(far, ref)
+
+    def test_empty(self):
+        assert ngram_similarity("", "x") == 0.0
+
+
+class TestMLPPredictor:
+    def test_learns_synthetic_signal(self):
+        X, y, _ = generate_synthetic(n_prompts=300, seed=1)
+        m = MLPQualityPredictor()
+        rep = m.fit(X, y, epochs=30, patience=5)
+        assert rep.val_auc > 0.8, f"AUC too low: {rep.val_auc}"
+        assert rep.epochs_run >= 1
+
+    def test_predict_interface(self):
+        m = MLPQualityPredictor()
+        r = m.predict("What is 2+2?", "4", np.asarray([-0.1]), 0)
+        assert 0.0 <= r.quality_score <= 1.0
+        assert r.prediction_time_s < 0.5
+
+    def test_save_load_roundtrip(self, tmp_path):
+        X, y, _ = generate_synthetic(n_prompts=100, seed=2)
+        m = MLPQualityPredictor()
+        m.fit(X, y, epochs=5, patience=3)
+        p = str(tmp_path / "pred.npz")
+        m.save(p)
+        m2 = MLPQualityPredictor.load(p)
+        np.testing.assert_allclose(
+            m.predict_features(X[:8]), m2.predict_features(X[:8]), rtol=1e-5
+        )
+
+    def test_kfold_reports(self):
+        X, y, _ = generate_synthetic(n_prompts=100, seed=3)
+        m = MLPQualityPredictor()
+        rep = m.fit(X, y, epochs=5, patience=3, k_fold=3)
+        assert len(rep.fold_metrics) == 3
+
+
+class TestEnsemble:
+    def test_fit_predict_uncertainty(self):
+        X, y, q = generate_synthetic(n_prompts=200, seed=4)
+        e = EnsembleQualityPredictor()
+        scores = e.fit(X, q)
+        assert set(scores) == {"random_forest", "gbm", "mlp", "ridge"}
+        mean, std = e.predict_features(X[:16])
+        assert mean.shape == (16,) and np.all((mean >= 0) & (mean <= 1))
+        assert np.all(std >= 0)
+
+    def test_weights_normalized(self):
+        X, y, q = generate_synthetic(n_prompts=150, seed=5)
+        e = EnsembleQualityPredictor()
+        e.fit(X, q)
+        assert sum(e.weights.values()) == pytest.approx(1.0)
+
+    def test_save_load(self, tmp_path):
+        X, y, q = generate_synthetic(n_prompts=100, seed=6)
+        e = EnsembleQualityPredictor()
+        e.fit(X, q)
+        p = str(tmp_path / "ens.pkl")
+        e.save(p)
+        e2 = EnsembleQualityPredictor.load(p)
+        m1, _ = e.predict_features(X[:4])
+        m2, _ = e2.predict_features(X[:4])
+        np.testing.assert_allclose(m1, m2)
+
+    def test_unfitted_raises(self):
+        from adaptive_sd_tpu.core.exceptions import PredictionError
+
+        with pytest.raises(PredictionError):
+            EnsembleQualityPredictor().predict_features(np.zeros((1, FEATURE_DIM)))
