@@ -1,0 +1,220 @@
+"""Dynamic cost optimizer: online lambda + per-stage cost-multiplier
+adaptation from live serving metrics, with load forecasting.
+
+Role parity: reference ``src/serving/dynamic_cost_optimizer.py``
+(PerformanceMonitor sliding windows, LoadPredictor hour-of-day + linear trend,
+rule-based multiplier updates clipped [0.5, 3.0], lambda adjustment clipped
+[0.1, 10], 30s background re-optimisation, optimization report). Key fix over
+the reference: system state comes from REAL pipeline/allocator metrics — the
+reference samples np.random for GPU util/queues (its :318-355, flagged in
+SURVEY.md §7 "what NOT to replicate").
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+
+
+@dataclass
+class OptimizerTargets:
+    """reference serving_config.py:55-63 target knobs."""
+
+    target_latency_s: float = 0.2
+    max_error_rate: float = 0.01
+    min_quality: float = 0.85
+    max_memory_utilization: float = 0.9
+
+
+class PerformanceMonitor:
+    """Sliding-window latency/quality/error/throughput (reference :37-123)."""
+
+    def __init__(self, window: int = 256) -> None:
+        self._lat: deque[float] = deque(maxlen=window)
+        self._qual: deque[float] = deque(maxlen=window)
+        self._err: deque[float] = deque(maxlen=window)
+        self._times: deque[float] = deque(maxlen=window)
+        self._lock = threading.Lock()
+
+    def record(self, latency_s: float, quality: float, error: bool) -> None:
+        with self._lock:
+            self._lat.append(latency_s)
+            self._qual.append(quality)
+            self._err.append(1.0 if error else 0.0)
+            self._times.append(time.time())
+
+    def snapshot(self) -> dict[str, float]:
+        with self._lock:
+            lat = list(self._lat)
+            qual = list(self._qual)
+            err = list(self._err)
+            times = list(self._times)
+        if not lat:
+            return {"count": 0, "avg_latency_s": 0.0, "p95_latency_s": 0.0,
+                    "avg_quality": 1.0, "error_rate": 0.0, "throughput_rps": 0.0}
+        span = max(times[-1] - times[0], 1e-3) if len(times) > 1 else 1.0
+        return {
+            "count": len(lat),
+            "avg_latency_s": float(np.mean(lat)),
+            "p95_latency_s": float(np.percentile(lat, 95)),
+            "avg_quality": float(np.mean(qual)),
+            "error_rate": float(np.mean(err)),
+            "throughput_rps": len(lat) / span,
+        }
+
+
+class LoadPredictor:
+    """Hour-of-day profile + linear trend extrapolation (reference :125-179)."""
+
+    def __init__(self) -> None:
+        self._hourly = np.zeros(24)
+        self._hourly_n = np.zeros(24)
+        self._recent: deque[tuple[float, float]] = deque(maxlen=64)
+
+    def observe(self, rps: float, ts: Optional[float] = None) -> None:
+        ts = ts if ts is not None else time.time()
+        hour = int(time.localtime(ts).tm_hour)
+        self._hourly[hour] += rps
+        self._hourly_n[hour] += 1
+        self._recent.append((ts, rps))
+
+    def forecast(self, horizon_s: float = 300.0) -> float:
+        """Blend hourly profile with the recent linear trend."""
+        ts = time.time() + horizon_s
+        hour = int(time.localtime(ts).tm_hour)
+        profile = (
+            self._hourly[hour] / self._hourly_n[hour] if self._hourly_n[hour] else 0.0
+        )
+        trend = 0.0
+        if len(self._recent) >= 4:
+            xs = np.asarray([t for t, _ in self._recent])
+            ys = np.asarray([r for _, r in self._recent])
+            xs = xs - xs[0]
+            slope, intercept = np.polyfit(xs, ys, 1)
+            trend = float(intercept + slope * (xs[-1] + horizon_s))
+        if profile == 0.0:
+            return max(trend, 0.0)
+        return max(0.5 * profile + 0.5 * trend, 0.0)
+
+
+class DynamicCostOptimizer:
+    """Periodic re-optimisation of lambda and per-stage cost multipliers
+    driven by real metrics (reference :181-533)."""
+
+    def __init__(
+        self,
+        pipeline,                               # AdaptiveCascadePipeline
+        targets: Optional[OptimizerTargets] = None,
+        interval_s: float = 30.0,
+        memory_utilization_fn: Optional[Callable[[], float]] = None,
+    ) -> None:
+        self.pipeline = pipeline
+        self.targets = targets or OptimizerTargets()
+        self.interval_s = interval_s
+        self.monitor = PerformanceMonitor()
+        self.load = LoadPredictor()
+        self._memory_fn = memory_utilization_fn or (lambda: 0.0)
+        self.cost_multipliers = np.ones(pipeline.n_stages)
+        self._base_costs = np.asarray(pipeline.costs, float)
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.history: list[dict] = []
+
+    # ---------------------------------------------------------------- control
+    def start(self) -> None:
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._loop, daemon=True)
+            self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)
+            self._thread = None
+
+    def _loop(self) -> None:  # pragma: no cover - timing loop
+        while not self._stop.wait(self.interval_s):
+            try:
+                self.optimize_once()
+            except Exception:  # noqa: BLE001
+                pass
+
+    # ------------------------------------------------------------- the rules
+    def optimize_once(self) -> dict:
+        """One re-optimisation pass; returns the action report."""
+        perf = self.monitor.snapshot()
+        mem = float(self._memory_fn())
+        forecast = self.load.forecast()
+        if perf["count"]:
+            self.load.observe(perf["throughput_rps"])
+        lam = self.pipeline.lam
+        new_lam = lam
+        mults = self.cost_multipliers.copy()
+        actions: list[str] = []
+
+        if perf["count"] >= 8:
+            # latency pressure -> raise lambda (stop earlier, cheaper)
+            if perf["p95_latency_s"] > self.targets.target_latency_s * 1.5:
+                new_lam = lam * 1.25
+                actions.append("latency p95 high: lambda up")
+            elif (
+                perf["avg_latency_s"] < self.targets.target_latency_s * 0.5
+                and perf["avg_quality"] < self.targets.min_quality
+            ):
+                new_lam = lam * 0.8
+                actions.append("latency headroom + quality low: lambda down")
+            # quality floor breach dominates
+            if perf["avg_quality"] < self.targets.min_quality * 0.95:
+                new_lam = min(new_lam, lam * 0.7)
+                actions.append("quality breach: lambda down hard")
+            # error pressure -> make big tiers look pricier (shed load)
+            if perf["error_rate"] > self.targets.max_error_rate:
+                mults[-1] *= 1.2
+                actions.append("errors: top-tier multiplier up")
+
+        # memory pressure -> penalise the expensive tiers
+        if mem > self.targets.max_memory_utilization:
+            mults[1:] *= 1.15
+            actions.append("memory pressure: upper-tier multipliers up")
+
+        # forecast-driven pre-emption: load spike coming -> cheaper operating point
+        if perf["count"] and forecast > max(perf["throughput_rps"] * 1.5, 1e-3):
+            new_lam = max(new_lam, lam * 1.1)
+            actions.append("forecast spike: lambda up")
+
+        new_lam = float(np.clip(new_lam, 0.1, 10.0))           # reference :425-487
+        mults = np.clip(mults, 0.5, 3.0)                        # reference :357-423
+
+        with self._lock:
+            if abs(new_lam - lam) > 1e-9:
+                self.pipeline.update_lambda(new_lam)
+            self.cost_multipliers = mults
+            self.pipeline.costs = list(self._base_costs * mults)
+
+        report = {
+            "ts": time.time(),
+            "lambda_before": lam,
+            "lambda_after": new_lam,
+            "cost_multipliers": mults.tolist(),
+            "perf": perf,
+            "memory_utilization": mem,
+            "forecast_rps": forecast,
+            "actions": actions,
+        }
+        self.history.append(report)
+        return report
+
+    def optimization_report(self) -> dict:
+        """reference :489-533."""
+        return {
+            "runs": len(self.history),
+            "current_lambda": self.pipeline.lam,
+            "cost_multipliers": self.cost_multipliers.tolist(),
+            "recent": self.history[-5:],
+        }

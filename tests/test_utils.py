@@ -1,0 +1,194 @@
+"""Tests for utils: timing, logging, validation, taxonomy, cost profiler."""
+
+import json
+import logging
+import time
+
+import numpy as np
+import pytest
+
+from adaptive_sd_tpu.core.exceptions import DeadlineError, ValidationError
+from adaptive_sd_tpu.core.types import TaskComplexity, TaskDomain
+from adaptive_sd_tpu.utils import (
+    CostProfiler,
+    Deadline,
+    MeasurementConfig,
+    NumericValidator,
+    PerformanceProfiler,
+    RateLimiter,
+    StringValidator,
+    StructuredFormatter,
+    TaskClassifier,
+    Timer,
+    timed,
+    validate_config,
+    validate_prompt,
+)
+
+
+class TestTimer:
+    def test_measures(self):
+        with Timer("t") as t:
+            time.sleep(0.01)
+        assert 0.005 < t.elapsed_s < 0.5
+
+    def test_sync_called(self):
+        calls = []
+        with Timer(sync=lambda: calls.append(1)):
+            pass
+        assert len(calls) == 2  # before and after
+
+
+class TestProfiler:
+    def test_stats_percentiles(self):
+        p = PerformanceProfiler()
+        for i in range(100):
+            p.record("op", i / 1000)
+        s = p.stats("op")
+        assert s["count"] == 100
+        assert s["p95_s"] >= s["p50_s"] >= s["min_s"]
+        assert p.stats("missing") == {"count": 0}
+
+    def test_timed_decorator(self):
+        prof = PerformanceProfiler()
+
+        @timed(prof, "myop")
+        def f():
+            return 42
+
+        assert f() == 42
+        assert prof.stats("myop")["count"] == 1
+
+
+class TestRateLimiter:
+    def test_burst_then_block(self):
+        rl = RateLimiter(rate_per_s=1000.0, burst=2)
+        assert rl.try_acquire() and rl.try_acquire()
+        assert not rl.try_acquire()  # bucket empty
+        time.sleep(0.005)
+        assert rl.try_acquire()  # refilled
+
+    def test_acquire_timeout(self):
+        rl = RateLimiter(rate_per_s=0.5, burst=1)
+        rl.try_acquire()
+        assert not rl.acquire(timeout_s=0.05)
+
+
+class TestDeadline:
+    def test_expiry(self):
+        d = Deadline(0.01)
+        assert not d.expired
+        time.sleep(0.02)
+        assert d.expired
+        with pytest.raises(DeadlineError):
+            d.check()
+
+
+class TestLogging:
+    def test_structured_formatter_json(self):
+        rec = logging.LogRecord("n", logging.INFO, "f", 1, "hello %s", ("x",), None)
+        rec.custom_field = 7
+        out = json.loads(StructuredFormatter().format(rec))
+        assert out["message"] == "hello x" and out["custom_field"] == 7
+
+
+class TestValidators:
+    def test_string_chain(self):
+        v = StringValidator("name").non_empty().max_length(5)
+        assert v.validate("abc") == "abc"
+        with pytest.raises(ValidationError):
+            v.validate("toolong")
+        with pytest.raises(ValidationError):
+            v.validate(123)
+
+    def test_numeric_chain(self):
+        v = NumericValidator().in_range(0, 10).integer()
+        assert v.validate(5) == 5
+        with pytest.raises(ValidationError):
+            v.validate(11)
+        with pytest.raises(ValidationError):
+            v.validate(2.5)
+
+    def test_prompt_injection_screen(self):
+        assert validate_prompt("What is 2+2?")
+        with pytest.raises(ValidationError):
+            validate_prompt("<script>alert(1)</script>")
+        with pytest.raises(ValidationError):
+            validate_prompt("bad\x00byte")
+
+    def test_config_schema_walker(self):
+        schema = {
+            "server": {"port": {"type": int, "range": (1, 65535), "required": True}},
+            "mode": {"type": str, "choices": ["a", "b"]},
+        }
+        validate_config({"server": {"port": 8000}, "mode": "a"}, schema)
+        with pytest.raises(ValidationError):
+            validate_config({"server": {"port": 0}}, schema)
+        with pytest.raises(ValidationError):
+            validate_config({"server": {}, "mode": "c"}, schema)
+
+
+class TestTaxonomy:
+    def test_code_domain(self):
+        c = TaskClassifier().classify("Write a python function to sort a list")
+        assert c.domain in (TaskDomain.CODE, TaskDomain.CREATIVE)
+
+    def test_math_domain(self):
+        c = TaskClassifier().classify("Solve the equation 3*x + 4 = 19")
+        assert c.domain == TaskDomain.MATH
+        assert c.requires_precision
+
+    def test_complexity_ordering(self):
+        easy = TaskClassifier().classify("Name the capital of France, briefly")
+        hard = TaskClassifier().classify(
+            "Formally prove the optimal multi-step tradeoff between distributed "
+            "consensus latency and concurrent throughput under constraints " * 3
+        )
+        assert hard.complexity.value > easy.complexity.value
+
+    def test_recommendation_monotone(self):
+        tc = TaskClassifier()
+        easy = tc.classify("Name a color")
+        hard = tc.classify("Rigorously prove and analyze the optimal distributed algorithm " * 5)
+        assert tc.recommend_stage(hard) >= tc.recommend_stage(easy)
+
+
+class TestCostProfiler:
+    def test_mock_fit_and_ratios(self):
+        cp = CostProfiler(MeasurementConfig(repetitions=1))
+        cp.mock_measurements("7b", 1.0)
+        cp.mock_measurements("32b", 4.5)
+        cp.mock_measurements("72b", 10.0)
+        ratios = cp.cost_ratios(["7b", "32b", "72b"])
+        assert ratios[0] == pytest.approx(1.0)
+        assert 2.0 < ratios[1] < 8.0
+        assert 5.0 < ratios[2] < 18.0
+
+    def test_profile_tier_real_callable(self):
+        cp = CostProfiler(
+            MeasurementConfig(
+                input_lens=(8, 16), output_lens=(4, 8), batch_sizes=(1, 2), repetitions=2
+            )
+        )
+        calls = []
+
+        def run(b, i, o):
+            calls.append((b, i, o))
+            time.sleep(0.0005 * o)
+
+        rows = cp.profile_tier("t", run)
+        assert rows and all(r.latency_s > 0 for r in rows)
+        m = cp.fit_cost_model("t")
+        assert m.r2 > 0.3 and m.per_token_s > 0
+
+    def test_write_back(self, tmp_path):
+        cp = CostProfiler(MeasurementConfig(repetitions=1))
+        cp.mock_measurements("a", 1.0)
+        cp.mock_measurements("b", 4.0)
+        path = tmp_path / "cascade.yaml"
+        cp.write_back_costs(str(path), ["a", "b"])
+        import yaml
+
+        cfg = yaml.safe_load(path.read_text())
+        assert cfg["stages"][0]["cost_per_token"] == pytest.approx(1.0)
+        assert cfg["stages"][1]["cost_per_token"] > 1.5
