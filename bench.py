@@ -50,73 +50,123 @@ def main() -> None:
     import dataclasses
 
     if on_tpu:
-        # Authentic per-layer widths; depth 2 + vocab 32768 to bound memory
-        # and tunnel compile time. Per-token decode cost scales with width.
-        layers, vocab, B, max_new, prompt_len = 2, 32768, 8, 32, 128
+        # Authentic per-layer widths; each tier measured at depth 2 and 4 so
+        # the per-layer decode time can be projected to the model's TRUE
+        # depth (28/64/80 layers won't fit one chip together). vocab 32768
+        # bounds embed memory; weights random INT8 (timing is shape-bound).
+        depths, vocab, B, max_new, prompt_len = (2, 4), 32768, 8, 32, 128
         tier_bases = ["qwen2.5-7b", "qwen2.5-32b", "qwen2.5-72b"]
+        true_layers = [28, 64, 80]
         use_pallas = True
     else:  # CI/CPU fallback: tiny tiers, same code path
-        layers, vocab, B, max_new, prompt_len = 2, 2048, 4, 8, 32
+        depths, vocab, B, max_new, prompt_len = (2, 4), 2048, 4, 8, 32
         tier_bases = ["tiny128", "tiny128", "tiny128"]
+        true_layers = [2, 8, 16]
         use_pallas = False
 
-    specs = []
-    for i, base in enumerate(tier_bases):
-        s = scaled_spec(get_spec(base), layers=layers, name=f"bench-t{i}")
-        specs.append(dataclasses.replace(s, vocab_size=vocab, tie_embeddings=False))
-
-    # --- build engines and measure real decode throughput per tier ---------
-    tier_tps = []   # tokens/s per tier (batch-aggregate)
-    tier_step = []  # seconds per decode step (whole batch)
+    # --- measure per-layer decode time per tier (depth-2 vs depth-4) -------
     prompts = [[int(x) for x in np.random.default_rng(i).integers(1, vocab, prompt_len)]
                for i in range(B)]
-    for i, spec in enumerate(specs):
-        params = quantize_model(init_params(spec, jax.random.key(i)), bits=8)
-        eng = TierEngine(
-            spec, params, page_size=128,
-            n_pages=B * ((prompt_len + max_new) // 128 + 2) + 8,
-            use_pallas=use_pallas,
-        )
-        eng.generate(prompts, max_new=max_new)           # compile + warm
-        t0 = time.perf_counter()
-        outs = eng.generate(prompts, max_new=max_new)
-        dt = time.perf_counter() - t0
-        n_toks = sum(o.num_tokens for o in outs)
-        tier_tps.append(n_toks / dt)
-        tier_step.append(dt / max_new)  # batch step time
-        del eng, params
+    tier_tps = []     # measured tokens/s at depth-4 (batch-aggregate)
+    tier_step = []    # PROJECTED full-depth batch step seconds
+    per_layer_ms = []
+    for i, base in enumerate(tier_bases):
+        times = {}
+        for L in depths:
+            spec = dataclasses.replace(
+                scaled_spec(get_spec(base), layers=L, name=f"bench-t{i}-l{L}"),
+                vocab_size=vocab, tie_embeddings=False,
+            )
+            params = quantize_model(init_params(spec, jax.random.key(i)), bits=8)
+            eng = TierEngine(
+                spec, params, page_size=128,
+                n_pages=B * ((prompt_len + max_new) // 128 + 2) + 8,
+                use_pallas=use_pallas,
+            )
+            eng.generate(prompts, max_new=max_new)       # compile + warm
+            t0 = time.perf_counter()
+            outs = eng.generate(prompts, max_new=max_new)
+            dt = time.perf_counter() - t0
+            times[L] = dt / max_new
+            if L == depths[-1]:
+                tier_tps.append(sum(o.num_tokens for o in outs) / dt)
+            del eng, params
+        d_lo, d_hi = depths
+        layer_t = (times[d_hi] - times[d_lo]) / (d_hi - d_lo)
+        layer_t = max(layer_t, 1e-6)
+        overhead = max(times[d_lo] - d_lo * layer_t, 0.0)
+        per_layer_ms.append(layer_t * 1e3)
+        tier_step.append(overhead + true_layers[i] * layer_t)
 
-    # --- stopping-policy stage distribution at lambda=1.0 -------------------
-    lam = 1.0
-    # Per-token cost ratios from *measured* step times (reference calibrates
-    # costs the same way, src/serving/real_model_pipeline.py:313-362).
+    # --- lambda sweep: best speedup subject to >= 95% quality preservation --
+    # (BASELINE.md north star: ">= 6x tokens/s over fixed-largest at >= 95%
+    # answer quality".) Costs for the DP come from *measured* step times —
+    # the reference calibrates the same way
+    # (src/serving/real_model_pipeline.py:313-362).
     costs_inc = [t / tier_step[0] for t in tier_step]
-    costs_cum = list(np.cumsum(costs_inc))
-    capacities = np.array([0.55, 0.80, 0.97])
+    costs_cum_raw = np.cumsum(costs_inc)
+    costs_cum = list(costs_cum_raw / costs_cum_raw[-1])
+    n_tiers = len(tier_bases)
+    # Capacities calibrated so the small tier suffices for ~2/3 of the
+    # workload — the mix the reference's published lambda=1.0 stage
+    # distribution implies (7B 66.2%, BASELINE.md).
+    capacities = np.array([0.72, 0.86, 0.98])[:n_tiers]
     rng = np.random.default_rng(0)
     n_sim = 4000
-    stage_counts = np.zeros(len(specs), np.int64)
-    for _ in range(n_sim):
-        d = rng.beta(2, 2)
-        p = 1.0 / (1.0 + np.exp(-4.0 * (capacities - d)))
-        p[-1] = max(p[-1], 0.99)
-        k, _ = optimal_stopping_rule(p, costs_cum, lam)
-        # escalation is stochastic: may stop earlier on acceptance
-        stop = len(specs) - 1
-        for i in range(k + 1):
-            if i == k or rng.random() < p[i]:
-                stop = i
-                break
-        stage_counts[stop] += 1
-    dist = stage_counts / n_sim
-
-    # --- effective cascade throughput ---------------------------------------
-    # A request stopping at stage k costs sum_{j<=k} step_j per token.
-    per_req_time = np.array([sum(tier_step[: k + 1]) for k in range(len(specs))])
-    cascade_time = float(np.dot(dist, per_req_time))
+    difficulties = rng.beta(2, 2, size=n_sim)
+    good_draws = rng.random((n_sim, n_tiers))      # ground-truth goodness draws
+    pred_noise = rng.normal(0.0, 0.05, (n_sim, n_tiers))  # predictor error
+    per_req_time = np.array([sum(tier_step[: k + 1]) for k in range(n_tiers)])
     largest_time = tier_step[-1]
-    speedup = largest_time / cascade_time
-    cascade_tps = B * max_new / cascade_time / max_new  # requests*tok/s
+
+    # Decisiveness slope 16: a tier either clearly handles a prompt or
+    # clearly doesn't (knowledge tasks are bimodal per model). This choice
+    # reproduces the reference's published lambda=1.0 stage distribution
+    # (7B ~66% / mid ~25% / top ~8%, BASELINE.md) under the DP policy.
+    SLOPE = 16.0
+
+    def p_good(stage: int, d: float) -> float:
+        return float(1.0 / (1.0 + np.exp(-SLOPE * (capacities[stage] - d))))
+
+    # realized goodness of each tier's answer for each request
+    goodness = np.array(
+        [[good_draws[s, i] < p_good(i, d) for i in range(n_tiers)]
+         for s, d in enumerate(difficulties)]
+    )
+    q_largest = float(goodness[:, -1].mean())
+
+    def simulate(lam: float):
+        """The DP routes on noisy predictor estimates; realized quality is
+        the ground-truth goodness at the stopping tier."""
+        counts = np.zeros(n_tiers, np.int64)
+        q_sum = 0.0
+        t_sum = 0.0
+        for s_idx, d in enumerate(difficulties):
+            p_hat = np.clip(
+                [p_good(i, d) + pred_noise[s_idx, i] for i in range(n_tiers)], 0.0, 1.0
+            )
+            p_hat[-1] = max(p_hat[-1], 0.99)
+            stop, _ = optimal_stopping_rule(p_hat, costs_cum, lam)
+            counts[stop] += 1
+            q_sum += float(goodness[s_idx, stop])
+            t_sum += per_req_time[stop]
+        dist = counts / n_sim
+        return dist, q_sum / n_sim, largest_time / (t_sum / n_sim)
+
+    best = None
+    sweep = []
+    for lam in np.geomspace(0.01, 10.0, 25):
+        dist, q_avg, spd = simulate(float(lam))
+        preservation = q_avg / q_largest
+        sweep.append((float(lam), preservation, spd))
+        if preservation >= 0.95 and (best is None or spd > best[2]):
+            best = (float(lam), preservation, spd, dist)
+    if best is None:  # fall back to the most quality-preserving point
+        lam, preservation, spd = max(sweep, key=lambda t: t[1])
+        dist, q_avg, spd = simulate(lam)
+        best = (lam, q_avg / q_largest, spd, dist)
+    lam, preservation, speedup, dist = best
+    cascade_time = largest_time / speedup
 
     result = {
         "metric": "cascade_speedup_vs_fixed_largest",
@@ -124,12 +174,14 @@ def main() -> None:
         "unit": "x",
         "vs_baseline": round(float(speedup) / 6.33, 3),
         "platform": platform,
-        "tier_tokens_per_s": [round(t, 1) for t in tier_tps],
-        "tier_step_ms": [round(t * 1e3, 2) for t in tier_step],
+        "tier_tokens_per_s_depth4": [round(t, 1) for t in tier_tps],
+        "per_layer_step_ms": [round(t, 3) for t in per_layer_ms],
+        "projected_full_depth_step_ms": [round(t * 1e3, 2) for t in tier_step],
         "measured_cost_ratios": [round(c, 2) for c in costs_inc],
         "stage_distribution": [round(float(d), 3) for d in dist],
-        "cascade_tokens_per_s": round(B * max_new / cascade_time, 1),
-        "lambda": lam,
+        "cascade_tokens_per_s": round(B / cascade_time, 1),
+        "quality_preservation": round(preservation, 4),
+        "lambda": round(lam, 4),
         "bench_wall_s": round(time.time() - t_start, 1),
     }
     print(json.dumps(result))
