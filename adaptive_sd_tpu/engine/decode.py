@@ -30,7 +30,7 @@ import numpy as np
 
 from ..core.types import ModelOutput
 from ..models.config import ModelSpec
-from ..models.qwen import decode_step, prefill
+from ..models.qwen import decode_step, logits_at, prefill
 from ..ops.sampling import sample
 from .allocator import PageAllocator
 from .kv_cache import PagedKVCache
@@ -103,6 +103,114 @@ def _make_generate_fn(spec: ModelSpec, use_pallas: bool):
     return fn
 
 
+def _make_verify_continue_fn(spec: ModelSpec, use_pallas: bool):
+    """Speculative escalation: ONE prefill over [prompt + draft] verifies the
+    draft in parallel (greedy acceptance: longest prefix where this model's
+    argmax equals the draft token), emits the model's own token at the first
+    mismatch, then a while-loop decodes the remainder. This is what makes
+    escalation cost ~(one verify pass + residual decode) instead of a full
+    re-decode — the cascade's central performance trick (BASELINE.md north
+    star: "draft-generate/batched-verify loop ... fused on-device").
+    """
+
+    def fn(
+        params,
+        tokens,        # [B, S] prompt+draft, right-padded
+        prompt_lens,   # [B]
+        total_lens,    # [B] prompt + draft lengths
+        block_tables,
+        cache,
+        key,
+        *,
+        max_new,       # output budget (tokens beyond the prompt)
+        max_draft,     # static draft-window width
+        temperature,
+        top_p,
+        eos_id,
+    ):
+        B, S = tokens.shape
+        _, cache, h = prefill(
+            params, spec, tokens, total_lens, cache, block_tables,
+            use_pallas=use_pallas, return_hidden=True,
+        )
+        # Hidden state at position prompt_lens-1+i predicts draft token i.
+        pos = prompt_lens[:, None] - 1 + jnp.arange(max_draft)[None, :]
+        pos_c = jnp.clip(pos, 0, S - 1)
+        h_sel = jnp.take_along_axis(h, pos_c[:, :, None], axis=1)      # [B, Dw, H]
+        logits_d = logits_at(params, spec, h_sel, use_pallas=use_pallas)  # [B, Dw, V]
+        logp_d = jax.nn.log_softmax(logits_d, axis=-1)
+        pred = jnp.argmax(logits_d, axis=-1).astype(jnp.int32)          # [B, Dw]
+
+        draft_idx = jnp.clip(prompt_lens[:, None] + jnp.arange(max_draft)[None, :], 0, S - 1)
+        draft = jnp.take_along_axis(tokens, draft_idx, axis=1)          # [B, Dw]
+        draft_len = total_lens - prompt_lens
+        valid = jnp.arange(max_draft)[None, :] < draft_len[:, None]
+        match = jnp.logical_and(pred == draft, valid)
+        n_acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)  # [B]
+
+        # Verifier's token at the first mismatch (or right after the draft).
+        bonus_pos = jnp.clip(n_acc, 0, max_draft - 1)
+        bonus_tok = jnp.take_along_axis(pred, bonus_pos[:, None], axis=1)[:, 0]
+        bonus_lp = jnp.take_along_axis(
+            jnp.take_along_axis(logp_d, bonus_pos[:, None, None], axis=1)[:, 0],
+            bonus_tok[:, None],
+            axis=1,
+        )[:, 0]
+        draft_lp = jnp.take_along_axis(logp_d, draft[:, :, None], axis=2)[:, :, 0]
+
+        # Output buffer: accepted draft prefix, then the bonus token, then
+        # continued decoding. Write index is per-request.
+        out_toks = jnp.where(
+            jnp.arange(max_new)[None, :] < n_acc[:, None],
+            jnp.pad(draft, ((0, 0), (0, max(max_new - max_draft, 0))))[:, :max_new],
+            PAD_ID,
+        ).astype(jnp.int32)
+        out_lps = jnp.where(
+            jnp.arange(max_new)[None, :] < n_acc[:, None],
+            jnp.pad(draft_lp, ((0, 0), (0, max(max_new - max_draft, 0))))[:, :max_new],
+            0.0,
+        ).astype(jnp.float32)
+
+        from ..ops.sampling import SampleResult
+
+        first = SampleResult(bonus_tok, bonus_lp)
+        active = jnp.ones((B,), bool)
+        gen_len = n_acc
+        wr = n_acc  # next write slot; bonus goes here
+
+        def cond(state):
+            _, active, wr, *_ = state
+            return jnp.logical_and(jnp.any(active), jnp.any(wr < max_new))
+
+        def body(state):
+            tok, active, wr, cache, out_toks, out_lps, gen_len, key = state
+            can_write = jnp.logical_and(active, wr < max_new)
+            out_toks = out_toks.at[jnp.arange(B), jnp.clip(wr, 0, max_new - 1)].set(
+                jnp.where(can_write, tok.token, out_toks[jnp.arange(B), jnp.clip(wr, 0, max_new - 1)])
+            )
+            out_lps = out_lps.at[jnp.arange(B), jnp.clip(wr, 0, max_new - 1)].set(
+                jnp.where(can_write, tok.logprob, out_lps[jnp.arange(B), jnp.clip(wr, 0, max_new - 1)])
+            )
+            gen_len = gen_len + can_write.astype(jnp.int32)
+            if eos_id is not None:
+                active = jnp.logical_and(active, tok.token != eos_id)
+            active = jnp.logical_and(active, wr + 1 < max_new)
+            positions = prompt_lens + wr  # position of the token being fed
+            logits, cache = decode_step(
+                params, spec, tok.token, positions, cache, block_tables,
+                use_pallas=use_pallas,
+            )
+            key, kk = jax.random.split(key)
+            nxt = sample(logits, kk, temperature=temperature, top_p=top_p)
+            return (nxt, active, wr + 1, cache, out_toks, out_lps, gen_len, key)
+
+        state = (first, active, wr, cache, out_toks, out_lps, gen_len, key)
+        _, _, _, cache, out_toks, out_lps, gen_len, _ = jax.lax.while_loop(cond, body, state)
+        return out_toks, out_lps, gen_len, n_acc, cache
+
+    return fn
+
+
 class TierEngine:
     """One cascade tier: quantized params + compiled execution graphs +
     page allocation. Thread-compatible: jit dispatch is GIL-friendly and the
@@ -136,6 +244,12 @@ class TierEngine:
             self._generate_raw,
             static_argnames=("max_new", "temperature", "top_p", "eos_id"),
             donate_argnums=donate,
+        )
+        self._verify_raw = _make_verify_continue_fn(spec, use_pallas)
+        self._verify_jit = jax.jit(
+            self._verify_raw,
+            static_argnames=("max_new", "max_draft", "temperature", "top_p", "eos_id"),
+            donate_argnums=(5,) if donate_cache else (),
         )
         self._prefill_jit = jax.jit(
             self._prefill_fn, donate_argnums=(4,) if donate_cache else ()
@@ -223,6 +337,86 @@ class TierEngine:
                     logprobs=out_lps[i, :n].copy(),
                     prefill_time_s=0.0,
                     decode_time_s=dt,
+                )
+            )
+        self.total_generated_tokens += int(gen_len[:B].sum())
+        self.total_decode_time_s += dt
+        return results
+
+    # speculative escalation --------------------------------------------------
+    def verify_continue(
+        self,
+        prompts: Sequence[Sequence[int]],
+        drafts: Sequence[Sequence[int]],
+        *,
+        max_new: int = 128,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        seed: int = 0,
+    ) -> list[tuple[GenerationOutput, int]]:
+        """Escalation entry: verify each draft in one parallel pass, keep the
+        accepted prefix, decode the remainder. Returns per request
+        (GenerationOutput over the FULL output window, accepted-prefix length).
+        """
+        if len(prompts) != len(drafts):
+            raise ValueError("prompts and drafts must align")
+        B = len(prompts)
+        Bb = _bucket_batch(B)
+        p_lens = [len(p) for p in prompts]
+        d_lens = [min(len(d), max_new) for d in drafts]
+        max_draft = _bucket_len(max(d_lens), 8)
+        S = _bucket_len(max(pl + dl for pl, dl in zip(p_lens, d_lens)), self.page_size)
+        max_pages = (S + max_new + self.page_size - 1) // self.page_size + 1
+
+        tokens = np.full((Bb, S), PAD_ID, np.int32)
+        for i, (p, d) in enumerate(zip(prompts, drafts)):
+            seq = list(p) + list(d)[: d_lens[i]]
+            tokens[i, : len(seq)] = np.asarray(seq, np.int32)
+        prompt_lens = np.asarray(p_lens + [1] * (Bb - B), np.int32)
+        total_lens = np.asarray(
+            [pl + dl for pl, dl in zip(p_lens, d_lens)] + [1] * (Bb - B), np.int32
+        )
+
+        rid = f"ver{id(self)}_{time.monotonic_ns()}"
+        tables = np.zeros((Bb, max_pages), np.int32)
+        try:
+            for b in range(Bb):
+                tables[b] = self.allocator.alloc(f"{rid}_{b}", max_pages)
+            t0 = time.perf_counter()
+            out_toks, out_lps, gen_len, n_acc, self.cache = self._verify_jit(
+                self.params,
+                jnp.asarray(tokens),
+                jnp.asarray(prompt_lens),
+                jnp.asarray(total_lens),
+                jnp.asarray(tables),
+                self.cache,
+                jax.random.key(seed),
+                max_new=max_new,
+                max_draft=max_draft,
+                temperature=temperature,
+                top_p=top_p,
+                eos_id=self.eos_id,
+            )
+            out_toks, out_lps, gen_len, n_acc = jax.device_get(
+                (out_toks, out_lps, gen_len, n_acc)
+            )
+            dt = time.perf_counter() - t0
+        finally:
+            for b in range(Bb):
+                self.allocator.free_request(f"{rid}_{b}")
+
+        results = []
+        for i in range(B):
+            n = int(gen_len[i])
+            results.append(
+                (
+                    GenerationOutput(
+                        token_ids=out_toks[i, :n].copy(),
+                        logprobs=out_lps[i, :n].copy(),
+                        prefill_time_s=0.0,
+                        decode_time_s=dt,
+                    ),
+                    int(n_acc[i]),
                 )
             )
         self.total_generated_tokens += int(gen_len[:B].sum())

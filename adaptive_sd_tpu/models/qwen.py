@@ -155,8 +155,12 @@ def prefill(
     block_tables: jax.Array,  # [B, max_pages] int32
     *,
     use_pallas: bool = True,
+    return_hidden: bool = False,
 ):
-    """Process full prompts; returns (last-token logits [B, V] f32, cache)."""
+    """Process full prompts; returns (last-token logits [B, V] f32, cache)
+    or, with ``return_hidden``, (logits, cache, final hidden states [B, S, H]
+    pre-final-norm) — the speculative verifier computes per-position draft
+    logits from these (engine/decode.py)."""
     B, S = tokens.shape
     h = jnp.take(params["embed"], tokens, axis=0)
     positions = jnp.arange(S)[None, :].repeat(B, axis=0)  # [B, S]
@@ -185,7 +189,15 @@ def prefill(
         h = h + linear(jax.nn.silu(gate) * up, layer["down_proj"], use_pallas=use_pallas)
 
     last = jnp.take_along_axis(h, (seq_lens - 1)[:, None, None], axis=1)[:, 0]  # [B, H]
-    return _logits(params, spec, last, use_pallas=use_pallas), cache
+    logits = _logits(params, spec, last, use_pallas=use_pallas)
+    if return_hidden:
+        return logits, cache, h
+    return logits, cache
+
+
+def logits_at(params: Params, spec: ModelSpec, h: jax.Array, *, use_pallas: bool = True):
+    """Per-position logits from prefill hidden states (speculative verify)."""
+    return _logits(params, spec, h, use_pallas=use_pallas)
 
 
 def decode_step(

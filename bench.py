@@ -64,14 +64,18 @@ def main() -> None:
         true_layers = [2, 8, 16]
         use_pallas = False
 
-    # --- measure per-layer decode time per tier (depth-2 vs depth-4) -------
+    # --- measure per-layer decode + verify time per tier (depth 2 vs 4) ----
+    # Decode: fused generate. Verify: the speculative-escalation pass
+    # (engine.verify_continue with a fully-accepted self-draft measures the
+    # pure parallel verify, no residual decode).
     prompts = [[int(x) for x in np.random.default_rng(i).integers(1, vocab, prompt_len)]
                for i in range(B)]
-    tier_tps = []     # measured tokens/s at depth-4 (batch-aggregate)
-    tier_step = []    # PROJECTED full-depth batch step seconds
+    tier_tps = []       # measured tokens/s at depth-4 (batch-aggregate)
+    tier_step = []      # PROJECTED full-depth batch decode step seconds
+    tier_verify = []    # PROJECTED full-depth batch verify-pass seconds
     per_layer_ms = []
     for i, base in enumerate(tier_bases):
-        times = {}
+        dec_times, ver_times = {}, {}
         for L in depths:
             spec = dataclasses.replace(
                 scaled_spec(get_spec(base), layers=L, name=f"bench-t{i}-l{L}"),
@@ -87,16 +91,32 @@ def main() -> None:
             t0 = time.perf_counter()
             outs = eng.generate(prompts, max_new=max_new)
             dt = time.perf_counter() - t0
-            times[L] = dt / max_new
+            dec_times[L] = dt / max_new
+            if i > 0:  # escalation targets need the verify graph
+                drafts = [o.token_ids.tolist() or [1] for o in outs]
+                eng.verify_continue(prompts, drafts, max_new=max_new)  # compile
+                t0 = time.perf_counter()
+                vouts = eng.verify_continue(prompts, drafts, max_new=max_new)
+                ver_times[L] = time.perf_counter() - t0
             if L == depths[-1]:
                 tier_tps.append(sum(o.num_tokens for o in outs) / dt)
             del eng, params
+
         d_lo, d_hi = depths
-        layer_t = (times[d_hi] - times[d_lo]) / (d_hi - d_lo)
-        layer_t = max(layer_t, 1e-6)
-        overhead = max(times[d_lo] - d_lo * layer_t, 0.0)
+
+        def project(times: dict) -> tuple[float, float]:
+            layer_t = max((times[d_hi] - times[d_lo]) / (d_hi - d_lo), 1e-6)
+            overhead = max(times[d_lo] - d_lo * layer_t, 0.0)
+            return layer_t, overhead + true_layers[i] * layer_t
+
+        layer_t, full_t = project(dec_times)
         per_layer_ms.append(layer_t * 1e3)
-        tier_step.append(overhead + true_layers[i] * layer_t)
+        tier_step.append(full_t)
+        if i > 0:
+            _, ver_full = project(ver_times)
+            tier_verify.append(ver_full)
+        else:
+            tier_verify.append(0.0)
 
     # --- lambda sweep: best speedup subject to >= 95% quality preservation --
     # (BASELINE.md north star: ">= 6x tokens/s over fixed-largest at >= 95%
@@ -116,8 +136,7 @@ def main() -> None:
     difficulties = rng.beta(2, 2, size=n_sim)
     good_draws = rng.random((n_sim, n_tiers))      # ground-truth goodness draws
     pred_noise = rng.normal(0.0, 0.05, (n_sim, n_tiers))  # predictor error
-    per_req_time = np.array([sum(tier_step[: k + 1]) for k in range(n_tiers)])
-    largest_time = tier_step[-1]
+    largest_time = tier_step[-1] * max_new
 
     # Decisiveness slope 16: a tier either clearly handles a prompt or
     # clearly doesn't (knowledge tasks are bimodal per model). This choice
@@ -135,6 +154,18 @@ def main() -> None:
     )
     q_largest = float(goodness[:, -1].mean())
 
+    def escalation_times(d: float) -> np.ndarray:
+        """Batch time to finish at tier k under SPECULATIVE escalation: tier 0
+        decodes in full; each higher tier verifies the previous draft in one
+        measured parallel pass and re-decodes only the rejected remainder
+        (expected rejected fraction = 1 - p_good of the drafting tier)."""
+        t = np.empty(n_tiers)
+        t[0] = max_new * tier_step[0]
+        for j in range(1, n_tiers):
+            acc = p_good(j - 1, d)
+            t[j] = t[j - 1] + tier_verify[j] + (1.0 - acc) * max_new * tier_step[j]
+        return t
+
     def simulate(lam: float):
         """The DP routes on noisy predictor estimates; realized quality is
         the ground-truth goodness at the stopping tier."""
@@ -146,10 +177,11 @@ def main() -> None:
                 [p_good(i, d) + pred_noise[s_idx, i] for i in range(n_tiers)], 0.0, 1.0
             )
             p_hat[-1] = max(p_hat[-1], 0.99)
-            stop, _ = optimal_stopping_rule(p_hat, costs_cum, lam)
+            esc_t = escalation_times(d)
+            stop, _ = optimal_stopping_rule(p_hat, esc_t / largest_time, lam)
             counts[stop] += 1
             q_sum += float(goodness[s_idx, stop])
-            t_sum += per_req_time[stop]
+            t_sum += esc_t[stop]
         dist = counts / n_sim
         return dist, q_sum / n_sim, largest_time / (t_sum / n_sim)
 
@@ -177,6 +209,7 @@ def main() -> None:
         "tier_tokens_per_s_depth4": [round(t, 1) for t in tier_tps],
         "per_layer_step_ms": [round(t, 3) for t in per_layer_ms],
         "projected_full_depth_step_ms": [round(t * 1e3, 2) for t in tier_step],
+        "projected_verify_pass_ms": [round(t * 1e3, 2) for t in tier_verify],
         "measured_cost_ratios": [round(c, 2) for c in costs_inc],
         "stage_distribution": [round(float(d), 3) for d in dist],
         "cascade_tokens_per_s": round(B / cascade_time, 1),

@@ -181,3 +181,45 @@ class TestTierEngine:
         eng = TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=16, use_pallas=False)
         info = eng.get_model_info()
         assert info["spec"] == "tiny" and info["memory_bytes"] > 0
+
+
+class TestVerifyContinue:
+    def test_self_verify_accepts_own_draft(self, tiny_params):
+        """A model verifying its OWN greedy draft must accept every token and
+        continue exactly as plain generation would."""
+        eng = TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=64, use_pallas=False)
+        prompt = [5, 9, 13]
+        full = eng.generate([prompt], max_new=8)[0]
+        draft = full.token_ids[:4].tolist()
+        out, n_acc = eng.verify_continue([prompt], [draft], max_new=8)[0]
+        assert n_acc == 4
+        assert out.token_ids.tolist() == full.token_ids.tolist()
+
+    def test_garbage_draft_rejected_and_corrected(self, tiny_params):
+        eng = TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=64, use_pallas=False)
+        prompt = [5, 9, 13]
+        full = eng.generate([prompt], max_new=6)[0]
+        wrong_first = (int(full.token_ids[0]) + 1) % TINY.vocab_size or 1
+        out, n_acc = eng.verify_continue([prompt], [[wrong_first, 3, 3]], max_new=6)[0]
+        assert n_acc == 0
+        assert out.token_ids.tolist() == full.token_ids.tolist()
+
+    def test_partial_acceptance(self, tiny_params):
+        eng = TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=64, use_pallas=False)
+        prompt = [7, 2, 21, 4]
+        full = eng.generate([prompt], max_new=8)[0]
+        draft = full.token_ids[:3].tolist()
+        draft[2] = (draft[2] + 5) % TINY.vocab_size or 1  # corrupt 3rd token
+        out, n_acc = eng.verify_continue([prompt], [draft], max_new=8)[0]
+        assert n_acc == 2
+        assert out.token_ids.tolist() == full.token_ids.tolist()
+
+    def test_batch_mixed_acceptance(self, tiny_params):
+        eng = TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=128, use_pallas=False)
+        prompts = [[5, 9, 13], [7, 2, 21, 4]]
+        fulls = eng.generate(prompts, max_new=6)
+        drafts = [fulls[0].token_ids[:3].tolist(), [1, 1]]
+        outs = eng.verify_continue(prompts, drafts, max_new=6)
+        assert outs[0][1] == 3
+        for (out, _), full in zip(outs, fulls):
+            assert out.token_ids.tolist() == full.token_ids.tolist()
