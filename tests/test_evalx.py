@@ -1,0 +1,188 @@
+"""Tests for evaluation: baselines, quality metrics, statistics, sweep."""
+
+import numpy as np
+import pytest
+
+from adaptive_sd_tpu.evalx import (
+    CascadeBaseline,
+    ComprehensiveQualityEvaluator,
+    FixedStageBaseline,
+    OracleBaseline,
+    RandomBaseline,
+    RigorousEvaluator,
+    ThresholdBaseline,
+    bleu,
+    default_baseline_suite,
+    evaluate_baselines,
+    generate_publication_table,
+    math_accuracy,
+    rouge_l,
+    rouge_n,
+    synthetic_dataset,
+    token_f1,
+)
+
+
+class TestBaselines:
+    def test_oracle_beats_random_on_quality(self):
+        reports = evaluate_baselines([OracleBaseline(), RandomBaseline()], n_samples=1000)
+        oracle, random_ = reports
+        assert oracle.avg_quality > random_.avg_quality
+        # oracle never overshoots past the cheapest sufficient stage, so it is
+        # cheaper than always-largest
+        assert oracle.avg_cost < 10.0
+
+    def test_fixed_stage_distribution_is_degenerate(self):
+        r = evaluate_baselines([FixedStageBaseline(stage=2)], n_samples=100)[0]
+        assert r.stage_distribution[2] == 1.0
+        assert r.avg_cost == pytest.approx(4.5)
+
+    def test_fixed_largest_speedup_is_one(self):
+        r = evaluate_baselines([FixedStageBaseline(stage=3)], n_samples=100)[0]
+        assert r.speedup_vs_largest == pytest.approx(1.0)
+
+    def test_threshold_lower_theta_stops_earlier(self):
+        lo = evaluate_baselines([ThresholdBaseline(theta=0.5)], n_samples=500)[0]
+        hi = evaluate_baselines([ThresholdBaseline(theta=0.95)], n_samples=500)[0]
+        assert lo.avg_stage <= hi.avg_stage
+
+    def test_default_suite_runs(self):
+        reports = evaluate_baselines(default_baseline_suite(), n_samples=200)
+        assert len(reports) == 8  # oracle, random, 4 fixed, threshold, cascade
+        for r in reports:
+            assert abs(sum(r.stage_distribution) - 1.0) < 1e-9
+
+
+class TestQualityMetrics:
+    def test_bleu_identity_and_orthogonal(self):
+        assert bleu("the cat sat on the mat today ok", "the cat sat on the mat today ok") > 0.95
+        assert bleu("alpha beta gamma", "one two three") == 0.0
+
+    def test_rouge(self):
+        assert rouge_n("a b c d", "a b c d", 2) == pytest.approx(1.0)
+        assert rouge_n("a b", "c d", 1) == 0.0
+        assert rouge_l("a x b y c", "a b c") > 0.5
+
+    def test_token_f1(self):
+        assert token_f1("paris is the capital", "the capital is paris") == pytest.approx(1.0)
+
+    def test_math_accuracy_final_answer(self):
+        assert math_accuracy("the answer is 42", "42") == 1.0
+        assert math_accuracy("the answer is 41", "42") == 0.0
+        assert math_accuracy("first 7 then 42", "compute: 42") == 1.0
+
+    def test_evaluator_aggregate_weighting(self):
+        ev = ComprehensiveQualityEvaluator()
+        m = ev.evaluate("Paris is the capital of France", "Paris", task="factual")
+        assert m.task_specific == 1.0  # entity recall
+        assert 0 < m.aggregate <= 1
+        m2 = ev.evaluate("I do not know", "Paris", task="factual")
+        assert m2.aggregate < m.aggregate
+
+    def test_reference_free(self):
+        ev = ComprehensiveQualityEvaluator()
+        m = ev.evaluate("Step 1: first we analyze. Therefore the result follows.",
+                        None, task="reasoning")
+        assert m.aggregate > 0.3
+
+
+class TestStatistics:
+    def test_paired_t_detects_difference(self):
+        rng = np.random.default_rng(0)
+        a = rng.normal(1.0, 0.1, 50)
+        b = a - 0.5 + rng.normal(0, 0.05, 50)
+        r = RigorousEvaluator().paired_t_test(a, b)
+        assert r.significant and r.p_value < 1e-6
+        assert r.effect_size > 2
+        assert r.ci_low < 0.5 < r.ci_high + 1.0
+        assert r.power > 0.99
+
+    def test_paired_t_null(self):
+        rng = np.random.default_rng(1)
+        a = rng.normal(0, 1, 40)
+        b = a + rng.normal(0, 0.01, 40)
+        r = RigorousEvaluator().paired_t_test(a, b)
+        assert abs(r.effect_size) < 1
+
+    def test_bonferroni_and_holm(self):
+        ev = RigorousEvaluator()
+        ps = [0.01, 0.02, 0.4]
+        bonf = ev.bonferroni_correction(ps)
+        holm = ev.holm_correction(ps)
+        assert bonf[0]["p_adjusted"] == pytest.approx(0.03)
+        assert not bonf[2]["significant"]
+        # Holm is uniformly no more conservative than Bonferroni
+        for h, b in zip(holm, bonf):
+            assert h["p_adjusted"] <= b["p_adjusted"] + 1e-12
+
+    def test_bootstrap_ci_covers_mean(self):
+        rng = np.random.default_rng(2)
+        data = rng.normal(5.0, 1.0, 200)
+        stat, lo, hi = RigorousEvaluator().bootstrap_confidence_interval(data)
+        assert lo < 5.0 < hi
+        assert stat == pytest.approx(data.mean())
+
+    def test_assumption_checks(self):
+        rng = np.random.default_rng(3)
+        r = RigorousEvaluator().check_assumptions(rng.normal(0, 1, 100))
+        assert r["normal"] is True
+        r2 = RigorousEvaluator().check_assumptions(rng.exponential(1, 500) ** 3)
+        assert r2["normal"] is False
+
+    def test_cv_comparison(self):
+        rng = np.random.default_rng(4)
+        a = rng.normal(0.8, 0.05, 100)
+        b = rng.normal(0.6, 0.05, 100)
+        out = RigorousEvaluator().cross_validated_comparison(a, b, k=5)
+        assert out["test"].significant
+
+    def test_publication_table(self):
+        tex = generate_publication_table(
+            [
+                {"method": "adaptive", "mean": 0.81, "ci_low": 0.79, "ci_high": 0.83,
+                 "p_value": 0.0001, "effect_size": 1.5},
+                {"method": "fixed-72b", "mean": 0.84, "ci_low": 0.82, "ci_high": 0.86,
+                 "p_value": None, "effect_size": None},
+            ]
+        )
+        assert r"\begin{table}" in tex and "adaptive" in tex and "$<$0.001" in tex
+
+
+class TestSweep:
+    def test_synthetic_datasets(self):
+        for name in ("mmlu-style", "gsm8k-style", "humaneval-style", "longform-style"):
+            samples = synthetic_dataset(name, 10)
+            assert len(samples) == 10 and all(s.prompt for s in samples)
+        with pytest.raises(ValueError):
+            synthetic_dataset("nope")
+
+    def test_harness_end_to_end(self):
+        from adaptive_sd_tpu.cascade import (
+            AdaptiveCascadePipeline,
+            MockStage,
+            PipelineConfig,
+            StageManager,
+        )
+        from adaptive_sd_tpu.evalx import LambdaSweepHarness
+        from adaptive_sd_tpu.predict import MLPQualityPredictor, generate_synthetic
+
+        X, y, _ = generate_synthetic(n_prompts=150, seed=0)
+        pred = MLPQualityPredictor()
+        pred.fit(X, y, epochs=8, patience=3)
+        pipe = AdaptiveCascadePipeline(
+            StageManager(
+                [
+                    MockStage("small", cost_per_token=1.0, capacity=0.5),
+                    MockStage("large", cost_per_token=10.0, capacity=0.97),
+                ]
+            ),
+            pred,
+            PipelineConfig(enable_caching=False),
+        )
+        h = LambdaSweepHarness(pipe)
+        points = h.run(lambdas=(0.1, 5.0), datasets=("mmlu-style",), n_per_dataset=8)
+        assert len(points) == 2
+        summary = h.summary()
+        assert set(summary) == {0.1, 5.0}
+        # higher lambda must not cost more
+        assert summary[5.0]["avg_cost"] <= summary[0.1]["avg_cost"] + 1e-9
