@@ -223,3 +223,55 @@ class TestVerifyContinue:
         assert outs[0][1] == 3
         for (out, _), full in zip(outs, fulls):
             assert out.token_ids.tolist() == full.token_ids.tolist()
+
+
+class TestContinuousBatchingScheduler:
+    def _engine(self, tiny_params, eos=None):
+        return TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=128,
+                          use_pallas=False, eos_id=eos)
+
+    def test_matches_fused_generation(self, tiny_params):
+        from adaptive_sd_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+        eng = self._engine(tiny_params)
+        fused = eng.generate([[3, 14, 15], [9, 2, 6, 5]], max_new=5)
+        sched = ContinuousBatchingScheduler(eng, max_batch=4, max_context=128)
+        r1 = sched.submit([3, 14, 15], max_new=5)
+        r2 = sched.submit([9, 2, 6, 5], max_new=5)
+        sched.run_until_idle()
+        assert r1.done and r2.done and not r1.error
+        assert r1.out_tokens == fused[0].token_ids.tolist()
+        assert r2.out_tokens == fused[1].token_ids.tolist()
+        assert eng.allocator.stats().active_requests == 0
+
+    def test_staggered_admission(self, tiny_params):
+        from adaptive_sd_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+        eng = self._engine(tiny_params)
+        expected = [o.token_ids.tolist() for o in eng.generate(
+            [[1, 2], [7, 8, 9]], max_new=4)]
+        sched = ContinuousBatchingScheduler(eng, max_batch=2, max_context=64)
+        a = sched.submit([1, 2], max_new=4)
+        sched.step()  # a admitted and stepped alone
+        b = sched.submit([7, 8, 9], max_new=4)  # joins mid-flight
+        sched.run_until_idle()
+        assert a.out_tokens == expected[0]
+        assert b.out_tokens == expected[1]
+
+    def test_more_requests_than_lanes(self, tiny_params):
+        from adaptive_sd_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+        eng = self._engine(tiny_params)
+        sched = ContinuousBatchingScheduler(eng, max_batch=2, max_context=64)
+        reqs = [sched.submit([i + 1, i + 2], max_new=3) for i in range(5)]
+        sched.run_until_idle()
+        assert all(r.done and len(r.out_tokens) == 3 for r in reqs)
+        assert sched.stats()["completed"] == 5
+
+    def test_context_overflow_rejected(self, tiny_params):
+        from adaptive_sd_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+        eng = self._engine(tiny_params)
+        sched = ContinuousBatchingScheduler(eng, max_batch=2, max_context=32)
+        with pytest.raises(ResourceError):
+            sched.submit(list(range(1, 30)), max_new=16)
