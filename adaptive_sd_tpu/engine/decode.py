@@ -236,7 +236,9 @@ class TierEngine:
         self.use_pallas = use_pallas
         self.eos_id = eos_id
         self.cost_per_token = cost_per_token
-        self.allocator = PageAllocator(n_pages)
+        from .native_bridge import make_page_allocator
+
+        self.allocator = make_page_allocator(n_pages)
         self.cache = PagedKVCache.create(spec, n_pages, page_size)
         self._generate_raw = _make_generate_fn(spec, use_pallas)
         donate = (4,) if donate_cache else ()
