@@ -72,10 +72,11 @@ def main() -> None:
                for i in range(B)]
     tier_tps = []       # measured tokens/s at depth-4 (batch-aggregate)
     tier_step = []      # PROJECTED full-depth batch decode step seconds
-    tier_verify = []    # PROJECTED full-depth batch verify-pass seconds
+    tier_prefill = []   # PROJECTED full-depth prompt prefill seconds
+    tier_verify = []    # PROJECTED full-depth verify-pass (prefill+accept) s
     per_layer_ms = []
     for i, base in enumerate(tier_bases):
-        dec_times, ver_times = {}, {}
+        dec_times, ver_times, pre_times = {}, {}, {}
         for L in depths:
             spec = dataclasses.replace(
                 scaled_spec(get_spec(base), layers=L, name=f"bench-t{i}-l{L}"),
@@ -90,33 +91,37 @@ def main() -> None:
             eng.generate(prompts, max_new=max_new)       # compile + warm
             t0 = time.perf_counter()
             outs = eng.generate(prompts, max_new=max_new)
-            dt = time.perf_counter() - t0
-            dec_times[L] = dt / max_new
-            if i > 0:  # escalation targets need the verify graph
-                drafts = [o.token_ids.tolist() or [1] for o in outs]
-                eng.verify_continue(prompts, drafts, max_new=max_new)  # compile
-                t0 = time.perf_counter()
-                vouts = eng.verify_continue(prompts, drafts, max_new=max_new)
-                ver_times[L] = time.perf_counter() - t0
+            gen_wall = time.perf_counter() - t0
+            # Split generate wall into decode steps + prompt prefill via a
+            # second measurement at half the output budget.
+            eng.generate(prompts, max_new=max_new // 2)  # compile + warm
+            t0 = time.perf_counter()
+            eng.generate(prompts, max_new=max_new // 2)
+            gen_half = time.perf_counter() - t0
+            step = max((gen_wall - gen_half) / (max_new - max_new // 2), 1e-6)
+            dec_times[L] = step
+            pre_times[L] = max(gen_wall - max_new * step, 0.0)
+            drafts = [o.token_ids.tolist() or [1] for o in outs]
+            eng.verify_continue(prompts, drafts, max_new=max_new)  # compile
+            t0 = time.perf_counter()
+            eng.verify_continue(prompts, drafts, max_new=max_new)
+            ver_times[L] = time.perf_counter() - t0
             if L == depths[-1]:
-                tier_tps.append(sum(o.num_tokens for o in outs) / dt)
+                tier_tps.append(sum(o.num_tokens for o in outs) / gen_wall)
             del eng, params
 
         d_lo, d_hi = depths
 
         def project(times: dict) -> tuple[float, float]:
-            layer_t = max((times[d_hi] - times[d_lo]) / (d_hi - d_lo), 1e-6)
+            layer_t = max((times[d_hi] - times[d_lo]) / (d_hi - d_lo), 0.0)
             overhead = max(times[d_lo] - d_lo * layer_t, 0.0)
             return layer_t, overhead + true_layers[i] * layer_t
 
         layer_t, full_t = project(dec_times)
         per_layer_ms.append(layer_t * 1e3)
-        tier_step.append(full_t)
-        if i > 0:
-            _, ver_full = project(ver_times)
-            tier_verify.append(ver_full)
-        else:
-            tier_verify.append(0.0)
+        tier_step.append(max(full_t, 1e-6))
+        tier_prefill.append(project(pre_times)[1])
+        tier_verify.append(project(ver_times)[1])
 
     # --- lambda sweep: best speedup subject to >= 95% quality preservation --
     # (BASELINE.md north star: ">= 6x tokens/s over fixed-largest at >= 95%
@@ -136,7 +141,8 @@ def main() -> None:
     difficulties = rng.beta(2, 2, size=n_sim)
     good_draws = rng.random((n_sim, n_tiers))      # ground-truth goodness draws
     pred_noise = rng.normal(0.0, 0.05, (n_sim, n_tiers))  # predictor error
-    largest_time = tier_step[-1] * max_new
+    # Fair baseline: fixed-largest also pays its own prompt prefill.
+    largest_time = tier_prefill[-1] + tier_step[-1] * max_new
 
     # Decisiveness slope 16: a tier either clearly handles a prompt or
     # clearly doesn't (knowledge tasks are bimodal per model). This choice
@@ -160,7 +166,7 @@ def main() -> None:
         measured parallel pass and re-decodes only the rejected remainder
         (expected rejected fraction = 1 - p_good of the drafting tier)."""
         t = np.empty(n_tiers)
-        t[0] = max_new * tier_step[0]
+        t[0] = tier_prefill[0] + max_new * tier_step[0]
         for j in range(1, n_tiers):
             acc = p_good(j - 1, d)
             t[j] = t[j - 1] + tier_verify[j] + (1.0 - acc) * max_new * tier_step[j]
@@ -209,6 +215,7 @@ def main() -> None:
         "tier_tokens_per_s_depth4": [round(t, 1) for t in tier_tps],
         "per_layer_step_ms": [round(t, 3) for t in per_layer_ms],
         "projected_full_depth_step_ms": [round(t * 1e3, 2) for t in tier_step],
+        "projected_prefill_ms": [round(t * 1e3, 2) for t in tier_prefill],
         "projected_verify_pass_ms": [round(t * 1e3, 2) for t in tier_verify],
         "measured_cost_ratios": [round(c, 2) for c in costs_inc],
         "stage_distribution": [round(float(d), 3) for d in dist],
