@@ -203,9 +203,33 @@ def prefill_attention(
     sm_scale: float,
     seq_lens: jax.Array | None = None,  # [B] actual lengths (rest is padding)
 ) -> jax.Array:
-    """Causal prefill attention (bf16 QKV, GQA), left for XLA to fuse —
-    prefill is MXU-bound at large S where XLA's fused attention is already
-    near roofline; the custom-kernel budget goes to the paged decode path."""
+    """Causal prefill attention (GQA) via jax.nn.dot_product_attention —
+    XLA's fused flash path, no materialised S x S scores. The einsum
+    reference below (prefill_attention_ref) is the correctness oracle."""
+    try:
+        return jax.nn.dot_product_attention(
+            q,
+            k,
+            v,
+            scale=sm_scale,
+            is_causal=True,
+            query_seq_lengths=seq_lens,
+            key_value_seq_lengths=seq_lens,
+        )
+    except (ValueError, TypeError):
+        # GQA/backend combination unsupported: fall back to the reference.
+        return prefill_attention_ref(q, k, v, sm_scale=sm_scale, seq_lens=seq_lens)
+
+
+def prefill_attention_ref(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    sm_scale: float,
+    seq_lens: jax.Array | None = None,
+) -> jax.Array:
+    """Masked-softmax einsum reference for prefill attention."""
     B, S, H, D = q.shape
     n_kv = k.shape[2]
     group = H // n_kv

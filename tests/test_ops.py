@@ -183,3 +183,22 @@ class TestSampling:
         s = logprob_stats(lp, jnp.asarray(3))
         assert float(s["mean"]) == pytest.approx(-2.0)
         assert float(s["min"]) == pytest.approx(-3.0)
+
+
+class TestPrefillFusedVsRef:
+    def test_fused_matches_einsum_reference(self, rng):
+        from adaptive_sd_tpu.ops.attention import prefill_attention, prefill_attention_ref
+        import jax.numpy as jnp
+
+        B, S, H, n_kv, D = 2, 24, 4, 2, 32
+        q = jnp.asarray(rng.normal(size=(B, S, H, D)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(B, S, n_kv, D)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(B, S, n_kv, D)).astype(np.float32))
+        lens = jnp.asarray([S, S - 7])
+        out = prefill_attention(q, k, v, sm_scale=0.18, seq_lens=lens)
+        ref = prefill_attention_ref(q, k, v, sm_scale=0.18, seq_lens=lens)
+        # compare only valid positions (padding rows are don't-care)
+        for b, L in enumerate([S, S - 7]):
+            np.testing.assert_allclose(
+                np.asarray(out[b, :L]), np.asarray(ref[b, :L]), rtol=2e-4, atol=2e-4
+            )
