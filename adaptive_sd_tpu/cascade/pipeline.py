@@ -138,16 +138,33 @@ class AdaptiveCascadePipeline:
         cached_flag = False
         error: Optional[str] = None
 
+        prev_output = None
         try:
             for i, stage in enumerate(self.stages):
                 cached = (
                     self.cache.get(request.request_id, i) if self.config.enable_caching else None
                 )
+                was_cached = cached is not None
                 if cached is not None:
                     output = cached
                     with self._lock:
                         self._stats["cache_hits"] += 1
                     cached_flag = True
+                elif (
+                    prev_output is not None
+                    and prev_output.token_ids is not None
+                    and len(prev_output.token_ids)
+                    and hasattr(stage, "verify_continue_text")
+                ):
+                    # Speculative escalation: this tier verifies the previous
+                    # draft in one parallel pass instead of re-decoding.
+                    output = stage.verify_continue_text(
+                        [request.prompt],
+                        [prev_output.token_ids],
+                        max_new=request.max_tokens,
+                        temperature=request.temperature,
+                        top_p=request.top_p,
+                    )[0]
                 else:
                     output = stage.generate_text(
                         [request.prompt],
@@ -155,11 +172,12 @@ class AdaptiveCascadePipeline:
                         temperature=request.temperature,
                         top_p=request.top_p,
                     )[0]
-                    if self.config.enable_caching:
-                        size = len(output.text.encode()) + (
-                            output.logprobs.nbytes if output.logprobs is not None else 0
-                        )
-                        self.cache.put(request.request_id, i, output, size)
+                prev_output = output
+                if not was_cached and self.config.enable_caching:
+                    size = len(output.text.encode()) + (
+                        output.logprobs.nbytes if output.logprobs is not None else 0
+                    )
+                    self.cache.put(request.request_id, i, output, size)
 
                 is_last = i == self.n_stages - 1
                 t_dec = time.perf_counter()

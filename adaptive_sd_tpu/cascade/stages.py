@@ -75,6 +75,41 @@ class EngineTextStage:
             )
         return results
 
+    def verify_continue_text(
+        self, prompts, drafts_token_ids, max_new=256, temperature=0.0, top_p=1.0
+    ):
+        """Speculative escalation: verify the previous tier's draft tokens in
+        one parallel pass, keep the accepted prefix, decode the rest
+        (engine.verify_continue). Returns ModelOutputs; the acceptance count
+        is exposed via ``ModelOutput.finish_reason`` metadata-free channel —
+        callers read tokens/logprobs exactly like generate_text."""
+        tok_prompts = [self.tokenize(p) for p in prompts]
+        t0 = time.perf_counter()
+        outs = self.engine.verify_continue(
+            tok_prompts,
+            [list(d) for d in drafts_token_ids],
+            max_new=max_new,
+            temperature=temperature,
+            top_p=top_p,
+        )
+        dt = time.perf_counter() - t0
+        results = []
+        for tp, (out, n_acc) in zip(tok_prompts, outs):
+            results.append(
+                ModelOutput(
+                    text=self.detokenize(out.token_ids.tolist()),
+                    token_ids=out.token_ids,
+                    logprobs=out.logprobs,
+                    num_prompt_tokens=len(tp),
+                    num_generated_tokens=out.num_tokens,
+                    generation_time_s=dt,
+                    tokens_per_second=out.num_tokens / dt if dt > 0 else 0.0,
+                    stage_name=self.name,
+                    finish_reason=f"spec_accepted={n_acc}",
+                )
+            )
+        return results
+
     def warmup(self) -> None:
         self.engine.warmup()
 

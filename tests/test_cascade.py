@@ -171,3 +171,59 @@ class TestPipeline:
         pipe.process_request(req)
         pipe.process_request(RequestContext(prompt="cached prompt", request_id="fixed-id"))
         assert pipe.get_stats()["cache_hits"] >= 1
+
+
+class TestEngineBackedPipeline:
+    """End-to-end: real TierEngines (tiny, CPU) behind the pipeline with
+    speculative verify escalation."""
+
+    @pytest.fixture(scope="class")
+    def engine_pipeline(self, predictor):
+        import jax
+        import jax.numpy as jnp
+
+        from adaptive_sd_tpu.cascade import EngineTextStage
+        from adaptive_sd_tpu.engine import TierEngine
+        from adaptive_sd_tpu.models import TINY, init_params
+
+        def tok(text):
+            return [(ord(c) % (TINY.vocab_size - 1)) + 1 for c in text[:48]] or [1]
+
+        def detok(ids):
+            return " ".join(str(i) for i in ids)
+
+        stages = []
+        for i, (name, cost) in enumerate([("small", 1.0), ("large", 4.0)]):
+            params = init_params(TINY, jax.random.key(i), dtype=jnp.float32)
+            eng = TierEngine(TINY, params, page_size=16, n_pages=256, use_pallas=False)
+            stages.append(EngineTextStage(eng, tok, detok, name=name, cost_per_token=cost))
+        return AdaptiveCascadePipeline(
+            StageManager(stages),
+            predictor,
+            PipelineConfig(lam=0.01, enable_caching=False, max_new_tokens=8),
+        )
+
+    def test_process_request_end_to_end(self, engine_pipeline):
+        res = engine_pipeline.process_request(
+            RequestContext(prompt="hello cascade", max_tokens=8)
+        )
+        assert res.succeeded, res.error
+        assert res.text
+        assert len(res.stage_results) >= 1
+
+    def test_escalation_uses_speculative_verify(self, engine_pipeline):
+        # force escalation with tiny lambda and a predictor clamp
+        class PessimistPredictor:
+            def predict(self, prompt, draft, logprobs, stage):
+                from adaptive_sd_tpu.core.types import PredictionResult
+
+                return PredictionResult(quality_score=0.01)
+
+        engine_pipeline.predictor = PessimistPredictor()
+        res = engine_pipeline.process_request(
+            RequestContext(prompt="must escalate", max_tokens=8)
+        )
+        assert res.succeeded, res.error
+        assert res.final_stage == 1
+        # stage 1's output came through the speculative path
+        assert res.stage_results[1].output.finish_reason.startswith("spec_accepted=")
