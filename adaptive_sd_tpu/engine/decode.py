@@ -253,6 +253,23 @@ class TierEngine:
             static_argnames=("max_new", "max_draft", "temperature", "top_p", "eos_id"),
             donate_argnums=(5,) if donate_cache else (),
         )
+
+        def _generate_policy(params, tokens, seq_lens, block_tables, cache, key, policy,
+                             *, max_new, temperature, top_p, eos_id, stage_index):
+            from ..predict.inline import inline_decision
+
+            out_toks, out_lps, gen_len, cache = self._generate_raw(
+                params, tokens, seq_lens, block_tables, cache, key,
+                max_new=max_new, temperature=temperature, top_p=top_p, eos_id=eos_id,
+            )
+            escalate, p_hat = inline_decision(policy, out_lps, gen_len, stage_index)
+            return out_toks, out_lps, gen_len, escalate, p_hat, cache
+
+        self._generate_policy_jit = jax.jit(
+            _generate_policy,
+            static_argnames=("max_new", "temperature", "top_p", "eos_id", "stage_index"),
+            donate_argnums=(4,) if donate_cache else (),
+        )
         self._prefill_jit = jax.jit(
             self._prefill_fn, donate_argnums=(4,) if donate_cache else ()
         )
@@ -344,6 +361,78 @@ class TierEngine:
         self.total_generated_tokens += int(gen_len[:B].sum())
         self.total_decode_time_s += dt
         return results
+
+    # on-device stopping ------------------------------------------------------
+    def generate_with_policy(
+        self,
+        prompts: Sequence[Sequence[int]],
+        policy,                     # predict.inline.InlinePolicyParams
+        stage_index: int,
+        *,
+        max_new: int = 128,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        seed: int = 0,
+    ) -> tuple[list[GenerationOutput], np.ndarray, np.ndarray]:
+        """Fused draft + inline stopping: the quality predictor and the DP
+        rule run INSIDE the generation graph; the escalation flags arrive in
+        the same device fetch as the tokens (no host round-trip in the
+        decision path). Returns (outputs, escalate[B] bool, p_hat[B])."""
+        B = len(prompts)
+        Bb = _bucket_batch(B)
+        lens = [len(p) for p in prompts]
+        S = _bucket_len(max(lens), self.page_size)
+        max_pages = (S + max_new + self.page_size - 1) // self.page_size + 1
+
+        tokens = np.full((Bb, S), PAD_ID, np.int32)
+        for i, p in enumerate(prompts):
+            tokens[i, : len(p)] = np.asarray(p, np.int32)
+        seq_lens = np.asarray(lens + [1] * (Bb - B), np.int32)
+
+        rid = f"pol{id(self)}_{time.monotonic_ns()}"
+        tables = np.zeros((Bb, max_pages), np.int32)
+        try:
+            for b in range(Bb):
+                tables[b] = self.allocator.alloc(f"{rid}_{b}", max_pages)
+            t0 = time.perf_counter()
+            out_toks, out_lps, gen_len, escalate, p_hat, self.cache = (
+                self._generate_policy_jit(
+                    self.params,
+                    jnp.asarray(tokens),
+                    jnp.asarray(seq_lens),
+                    jnp.asarray(tables),
+                    self.cache,
+                    jax.random.key(seed),
+                    policy,
+                    max_new=max_new,
+                    temperature=temperature,
+                    top_p=top_p,
+                    eos_id=self.eos_id,
+                    stage_index=stage_index,
+                )
+            )
+            out_toks, out_lps, gen_len, escalate, p_hat = jax.device_get(
+                (out_toks, out_lps, gen_len, escalate, p_hat)
+            )
+            dt = time.perf_counter() - t0
+        finally:
+            for b in range(Bb):
+                self.allocator.free_request(f"{rid}_{b}")
+
+        results = []
+        for i in range(B):
+            n = int(gen_len[i])
+            results.append(
+                GenerationOutput(
+                    token_ids=out_toks[i, :n].copy(),
+                    logprobs=out_lps[i, :n].copy(),
+                    prefill_time_s=0.0,
+                    decode_time_s=dt,
+                )
+            )
+        self.total_generated_tokens += int(gen_len[:B].sum())
+        self.total_decode_time_s += dt
+        return results, escalate[:B], p_hat[:B]
 
     # speculative escalation --------------------------------------------------
     def verify_continue(

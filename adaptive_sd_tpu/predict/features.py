@@ -70,7 +70,7 @@ def _logprob_block(logprobs: Optional[np.ndarray]) -> list[float]:
         float((lp < -0.69).mean()),         # p < 0.5
         float(lp[0]),
         float(lp[-1]),
-        float(lp[half:].mean() - lp[:half].mean()),  # confidence trend
+        float(lp[half:].mean() - lp[:half].mean()) if n >= 2 else 0.0,  # trend
         float(np.exp(-lp.mean())),          # perplexity
         float(probs.mean()),
         float(probs.min()),
