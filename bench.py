@@ -88,24 +88,29 @@ def main() -> None:
                 n_pages=B * ((prompt_len + max_new) // 128 + 2) + 8,
                 use_pallas=use_pallas,
             )
-            eng.generate(prompts, max_new=max_new)       # compile + warm
-            t0 = time.perf_counter()
-            outs = eng.generate(prompts, max_new=max_new)
-            gen_wall = time.perf_counter() - t0
-            # Split generate wall into decode steps + prompt prefill via a
-            # second measurement at half the output budget.
-            eng.generate(prompts, max_new=max_new // 2)  # compile + warm
-            t0 = time.perf_counter()
-            eng.generate(prompts, max_new=max_new // 2)
-            gen_half = time.perf_counter() - t0
+            def timed(fn, reps=3):
+                fn()  # compile + warm
+                best = float("inf")
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    result = fn()
+                    best = min(best, time.perf_counter() - t0)
+                return best, result
+
+            gen_wall, outs = timed(lambda: eng.generate(prompts, max_new=max_new))
+            gen_half, _ = timed(lambda: eng.generate(prompts, max_new=max_new // 2))
             step = max((gen_wall - gen_half) / (max_new - max_new // 2), 1e-6)
             dec_times[L] = step
             pre_times[L] = max(gen_wall - max_new * step, 0.0)
             drafts = [o.token_ids.tolist() or [1] for o in outs]
-            eng.verify_continue(prompts, drafts, max_new=max_new)  # compile
-            t0 = time.perf_counter()
-            eng.verify_continue(prompts, drafts, max_new=max_new)
-            ver_times[L] = time.perf_counter() - t0
+            ver_wall, vouts = timed(
+                lambda: eng.verify_continue(prompts, drafts, max_new=max_new)
+            )
+            # The timed call includes residual decode for rejected suffixes
+            # (random weights -> fragile argmax -> partial acceptance).
+            # Subtract those measured steps to isolate the verify pass.
+            residual_steps = max_new - min(n_acc for _, n_acc in vouts)
+            ver_times[L] = max(ver_wall - residual_steps * step, step)
             if L == depths[-1]:
                 tier_tps.append(sum(o.num_tokens for o in outs) / gen_wall)
             del eng, params
