@@ -34,7 +34,9 @@ from ..core.types import (
     RequestContext,
     StageResult,
 )
-from ..policy.dp import bayesian_adjustment, optimal_stopping_rule
+from ..policy.dp import AdaptiveStopping, bayesian_adjustment, optimal_stopping_rule
+from ..policy.theory import OptimalStoppingTheory, TheoreticalParameters
+from ..utils.metrics import global_metrics
 from .cache_manager import CascadeCacheManager
 from .stages import StageManager
 
@@ -44,6 +46,7 @@ class PipelineConfig:
     """reference src/serving/pipeline.py:22-31."""
 
     lam: float = 1.0
+    strategy: str = "dp"  # dp | threshold | ucb (reference OptimizationConfig)
     risk_alpha: float = 1.0
     risk_beta: float = 1.0
     enable_caching: bool = True
@@ -82,6 +85,9 @@ class AdaptiveCascadePipeline:
         self._prior_p = np.asarray(prior, np.float64)
         self._obs_n = np.zeros(n, np.int64)
         self._obs_sum = np.zeros(n, np.float64)
+        self._ucb = AdaptiveStopping(n_stages=n, lam=self.config.lam)
+        self._threshold_cache: dict[float, np.ndarray] = {}
+        self._metrics = global_metrics()
         self._lock = threading.RLock()
         self._executor = ThreadPoolExecutor(max_workers=self.config.max_concurrent)
         self._stats = {
@@ -112,17 +118,45 @@ class AdaptiveCascadePipeline:
         return float(self._prior_p[i])
 
     def _decide(self, probs_visited: list[float], lam: float) -> tuple[int, float]:
-        """Forward-looking DP: visited stages use predictor probs, future
-        stages use running priors; returns (k_star, expected_value_at_0)."""
+        """Stopping decision per configured strategy (reference
+        OptimizationConfig.strategy, serving_config.py:26-79):
+
+        dp         forward-looking Bellman DP — visited stages use predictor
+                   probs, future stages running priors (default)
+        threshold  static theory-derived thresholds (policy/theory.py)
+        ucb        online UCB bandit over stages (policy/dp.AdaptiveStopping)
+        """
         n = self.n_stages
+        i = len(probs_visited) - 1
+        if self.config.strategy == "threshold":
+            theta = self._thresholds(lam)
+            k = i if probs_visited[i] >= theta[i] or i == n - 1 else i + 1
+            return k, 0.0
+        if self.config.strategy == "ucb":
+            if self._ucb.should_explore(min(i + 1, n - 1)) and i < n - 1:
+                return i + 1, 0.0
+            return i, 0.0
         p = [0.0] * n
-        for i, v in enumerate(probs_visited):
-            p[i] = v
-        for i in range(len(probs_visited), n):
-            p[i] = self._stage_prior(i)
+        for idx, v in enumerate(probs_visited):
+            p[idx] = v
+        for idx in range(len(probs_visited), n):
+            p[idx] = self._stage_prior(idx)
         p[n - 1] = max(p[n - 1], 1.0 if len(probs_visited) == n else p[n - 1])
         k_star, V = optimal_stopping_rule(p, self.costs, lam)
         return k_star, float(V[0])
+
+    def _thresholds(self, lam: float):
+        key = round(lam, 6)
+        cached = self._threshold_cache.get(key)
+        if cached is None:
+            theory = OptimalStoppingTheory(
+                TheoreticalParameters(
+                    quality_bounds=tuple(self._stage_prior(i) for i in range(self.n_stages)),
+                    cost_ratios=tuple(self.costs),
+                )
+            )
+            cached = self._threshold_cache[key] = theory.derive_optimal_policy(lam)
+        return cached
 
     # ------------------------------------------------------------- main path
     def process_request(self, request: RequestContext) -> ProcessingResult:
@@ -356,6 +390,7 @@ class AdaptiveCascadePipeline:
         with self._lock:
             self._lam = lam
             self._stats["lambda"] = lam
+            self._threshold_cache.clear()
 
     @property
     def lam(self) -> float:
@@ -363,6 +398,24 @@ class AdaptiveCascadePipeline:
 
     def _update_stats(self, result: ProcessingResult) -> None:
         a = self.config.ema_alpha
+        self._metrics.inc("requests_total", help="processed requests")
+        if result.error:
+            self._metrics.inc("errors_total", help="failed requests")
+        else:
+            self._metrics.observe(
+                "request_latency_seconds", result.total_latency_s,
+                help="end-to-end request latency",
+            )
+            self._metrics.inc(
+                "stage_requests_total", labels={"stage": str(result.final_stage)},
+                help="requests finishing per stage",
+            )
+            if result.decision and result.decision.acceptance_probs:
+                self._ucb.update_statistics(
+                    result.final_stage,
+                    float(result.decision.acceptance_probs[-1]),
+                    result.total_cost / max(self.costs[-1], 1e-9),
+                )
         with self._lock:
             s = self._stats
             s["total_requests"] += 1

@@ -166,6 +166,15 @@ def build_app(
     async def cache_stats(request: web.Request) -> web.Response:
         return web.json_response(request.app["pipeline"].cache.stats())
 
+    async def metrics(request: web.Request) -> web.Response:
+        from ..utils.metrics import global_metrics
+
+        return web.Response(
+            text=global_metrics().export_metrics("prometheus"),
+            content_type="text/plain",
+        )
+
+    app.router.add_get("/metrics", metrics)
     app.router.add_get("/health", health)
     app.router.add_post("/generate", generate)
     app.router.add_post("/batch_generate", batch_generate)

@@ -227,3 +227,20 @@ class TestEngineBackedPipeline:
         assert res.final_stage == 1
         # stage 1's output came through the speculative path
         assert res.stage_results[1].output.finish_reason.startswith("spec_accepted=")
+
+
+class TestStrategies:
+    def test_threshold_strategy_runs(self, stages, predictor):
+        pipe = AdaptiveCascadePipeline(
+            stages, predictor, PipelineConfig(strategy="threshold", enable_caching=False)
+        )
+        outs = [pipe.process_request(RequestContext(prompt=f"t{i}")) for i in range(10)]
+        assert all(o.succeeded for o in outs)
+
+    def test_ucb_strategy_runs_and_learns(self, stages, predictor):
+        pipe = AdaptiveCascadePipeline(
+            stages, predictor, PipelineConfig(strategy="ucb", enable_caching=False)
+        )
+        outs = [pipe.process_request(RequestContext(prompt=f"u{i}")) for i in range(30)]
+        assert all(o.succeeded for o in outs)
+        assert pipe._ucb.counts.sum() > 0

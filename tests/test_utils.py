@@ -192,3 +192,46 @@ class TestCostProfiler:
         cfg = yaml.safe_load(path.read_text())
         assert cfg["stages"][0]["cost_per_token"] == pytest.approx(1.0)
         assert cfg["stages"][1]["cost_per_token"] > 1.5
+
+
+class TestMetrics:
+    def test_counter_gauge_histogram_export(self):
+        from adaptive_sd_tpu.utils.metrics import MetricsCollector
+
+        m = MetricsCollector(namespace="test")
+        m.inc("requests_total", help="reqs")
+        m.inc("requests_total")
+        m.inc("stage_requests_total", labels={"stage": "1"})
+        m.set_gauge("lambda_value", 0.5)
+        for v in (0.01, 0.2, 3.0):
+            m.observe("request_latency_seconds", v)
+        text = m.export_metrics("prometheus")
+        assert "test_requests_total 2.0" in text
+        assert 'test_stage_requests_total{stage="1"} 1.0' in text
+        assert "test_lambda_value 0.5" in text
+        assert "test_request_latency_seconds_count 3" in text
+        assert 'le="+Inf"' in text
+        # cumulative bucket counts are monotone
+        counts = [int(l.rsplit(" ", 1)[1]) for l in text.splitlines()
+                  if l.startswith("test_request_latency_seconds_bucket")]
+        assert counts == sorted(counts)
+
+    def test_record_dispatch(self):
+        from adaptive_sd_tpu.utils.metrics import MetricsCollector
+
+        m = MetricsCollector()
+        m.record("queue_depth", 4)
+        m.record("step_latency_s", 0.1)
+        text = m.export_metrics()
+        assert "queue_depth 4" in text and "step_latency_s_count 1" in text
+
+    def test_snapshot_and_bad_format(self):
+        from adaptive_sd_tpu.utils.metrics import MetricsCollector
+
+        m = MetricsCollector()
+        m.inc("requests_total", 5)
+        m.inc("errors_total", 1)
+        snap = m.snapshot()
+        assert snap.total_requests == 5 and snap.error_rate == pytest.approx(0.2)
+        with pytest.raises(ValueError):
+            m.export_metrics("json")
