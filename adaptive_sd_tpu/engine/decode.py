@@ -228,18 +228,34 @@ class TierEngine:
         eos_id: Optional[int] = None,
         cost_per_token: float = 1.0,
         donate_cache: bool = True,
+        mesh=None,
     ) -> None:
+        """``mesh``: optional jax Mesh (a disjoint sub-mesh of the pod slice,
+        parallel.plan_tier_placements) — params and KV pages are GSPMD-
+        sharded onto it and every graph runs on those devices only, so
+        cascade tiers co-schedule on disjoint device sets (SURVEY.md §2.8).
+        Multi-device meshes currently run the jnp kernel path
+        (use_pallas=False); per-shard Pallas via shard_map is future work."""
         self.spec = spec
-        self.params = params
         self.name = name or spec.name
         self.page_size = page_size
+        self.mesh = mesh
+        if mesh is not None and np.prod([mesh.shape[a] for a in mesh.axis_names]) > 1:
+            use_pallas = False
         self.use_pallas = use_pallas
         self.eos_id = eos_id
         self.cost_per_token = cost_per_token
         from .native_bridge import make_page_allocator
 
         self.allocator = make_page_allocator(n_pages)
-        self.cache = PagedKVCache.create(spec, n_pages, page_size)
+        cache = PagedKVCache.create(spec, n_pages, page_size)
+        if mesh is not None:
+            from ..parallel.sharding import shard_cache, shard_params
+
+            params = shard_params(params, spec, mesh)
+            cache = shard_cache(cache, spec, mesh)
+        self.params = params
+        self.cache = cache
         self._generate_raw = _make_generate_fn(spec, use_pallas)
         donate = (4,) if donate_cache else ()
         self._generate_jit = jax.jit(

@@ -128,3 +128,34 @@ class TestShardedModel:
         logits, _ = f(params, toks, seq_lens, cache, tables)
         assert logits.shape == (B, TINY128.vocab_size)
         assert np.all(np.isfinite(np.asarray(logits, np.float32)))
+
+
+class TestDisjointTierPlacement:
+    def test_two_engines_on_disjoint_submeshes(self, eight_devices):
+        """Two cascade tiers pinned to disjoint 4-device sub-meshes produce
+        the same tokens as an unpinned single-device engine, and their params
+        live on their own device sets."""
+        import jax
+        import jax.numpy as jnp
+
+        from adaptive_sd_tpu.engine import TierEngine
+        from adaptive_sd_tpu.models import TINY128, init_params
+
+        params = init_params(TINY128, jax.random.key(0), dtype=jnp.float32)
+        ref_eng = TierEngine(TINY128, params, n_pages=32, use_pallas=False)
+        ref_out = ref_eng.generate([[5, 6, 7]], max_new=4)[0]
+
+        mesh_a = build_mesh(dp=1, tp=4, devices=jax.devices()[:4])
+        mesh_b = build_mesh(dp=1, tp=4, devices=jax.devices()[4:8])
+        eng_a = TierEngine(TINY128, params, n_pages=32, mesh=mesh_a)
+        eng_b = TierEngine(TINY128, params, n_pages=32, mesh=mesh_b)
+
+        out_a = eng_a.generate([[5, 6, 7]], max_new=4)[0]
+        out_b = eng_b.generate([[5, 6, 7]], max_new=4)[0]
+        assert out_a.token_ids.tolist() == ref_out.token_ids.tolist()
+        assert out_b.token_ids.tolist() == ref_out.token_ids.tolist()
+
+        devs_a = eng_a.params["layers"][0]["q_proj"].sharding.device_set
+        devs_b = eng_b.params["layers"][0]["q_proj"].sharding.device_set
+        assert devs_a.isdisjoint(devs_b)
+        assert len(devs_a) == 4 and len(devs_b) == 4
