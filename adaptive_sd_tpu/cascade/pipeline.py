@@ -142,7 +142,13 @@ class AdaptiveCascadePipeline:
         for idx in range(len(probs_visited), n):
             p[idx] = self._stage_prior(idx)
         p[n - 1] = max(p[n - 1], 1.0 if len(probs_visited) == n else p[n - 1])
-        k_star, V = optimal_stopping_rule(p, self.costs, lam)
+        # Costs are normalised to max-cumulative = 1 for the DP so lambda ~ 1
+        # is a balanced operating point: quality loss lives in [0, 1], and
+        # unnormalised cost units would make escalation unwinnable at any
+        # lambda >= 1 regardless of predicted quality.
+        c_max = max(self.costs[-1], 1e-9)
+        norm_costs = [c / c_max for c in self.costs]
+        k_star, V = optimal_stopping_rule(p, norm_costs, lam)
         return k_star, float(V[0])
 
     def _thresholds(self, lam: float):

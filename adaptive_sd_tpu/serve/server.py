@@ -75,6 +75,8 @@ def build_app(
             resp = await handler(request)
         except web.HTTPException:
             raise
+        except json.JSONDecodeError:
+            return _json_error(400, "request body must be valid JSON")
         except PydanticValidationError as exc:
             return _json_error(422, json.loads(exc.json())[0].get("msg", "validation error"))
         except Exception as exc:  # noqa: BLE001 - uniform API boundary
