@@ -179,39 +179,57 @@ class AdaptiveCascadePipeline:
         error: Optional[str] = None
 
         prev_output = None
+        failed_stages: list[int] = []
         try:
             for i, stage in enumerate(self.stages):
                 cached = (
                     self.cache.get(request.request_id, i) if self.config.enable_caching else None
                 )
                 was_cached = cached is not None
-                if cached is not None:
-                    output = cached
-                    with self._lock:
-                        self._stats["cache_hits"] += 1
-                    cached_flag = True
-                elif (
-                    prev_output is not None
-                    and prev_output.token_ids is not None
-                    and len(prev_output.token_ids)
-                    and hasattr(stage, "verify_continue_text")
-                ):
-                    # Speculative escalation: this tier verifies the previous
-                    # draft in one parallel pass instead of re-decoding.
-                    output = stage.verify_continue_text(
-                        [request.prompt],
-                        [prev_output.token_ids],
-                        max_new=request.max_tokens,
-                        temperature=request.temperature,
-                        top_p=request.top_p,
-                    )[0]
-                else:
-                    output = stage.generate_text(
-                        [request.prompt],
-                        max_new=request.max_tokens,
-                        temperature=request.temperature,
-                        top_p=request.top_p,
-                    )[0]
+                try:
+                    if cached is not None:
+                        output = cached
+                        with self._lock:
+                            self._stats["cache_hits"] += 1
+                        cached_flag = True
+                    elif (
+                        prev_output is not None
+                        and prev_output.token_ids is not None
+                        and len(prev_output.token_ids)
+                        and hasattr(stage, "verify_continue_text")
+                    ):
+                        # Speculative escalation: this tier verifies the
+                        # previous draft in one parallel pass instead of
+                        # re-decoding.
+                        output = stage.verify_continue_text(
+                            [request.prompt],
+                            [prev_output.token_ids],
+                            max_new=request.max_tokens,
+                            temperature=request.temperature,
+                            top_p=request.top_p,
+                        )[0]
+                    else:
+                        output = stage.generate_text(
+                            [request.prompt],
+                            max_new=request.max_tokens,
+                            temperature=request.temperature,
+                            top_p=request.top_p,
+                        )[0]
+                except Exception as stage_exc:  # noqa: BLE001
+                    # Per-stage fault isolation (reference captures stage
+                    # errors as error-results and falls through,
+                    # real_model_pipeline.py:168-181): skip to the next tier
+                    # unless this was the last hope.
+                    failed_stages.append(i)
+                    self._metrics.inc(
+                        "stage_errors_total", labels={"stage": str(i)},
+                        help="per-stage generation failures",
+                    )
+                    if i == self.n_stages - 1:
+                        raise
+                    probs.append(0.0)
+                    raw_probs.append(0.0)
+                    continue
                 prev_output = output
                 if not was_cached and self.config.enable_caching:
                     size = len(output.text.encode()) + (
@@ -388,6 +406,40 @@ class AdaptiveCascadePipeline:
             self._update_stats(res)
             results.append(res)
         return results
+
+    # ------------------------------------------------------------- streaming
+    def stream_request(self, request: RequestContext):
+        """Streaming generator: yields text chunks, then a final metadata
+        dict. Streaming commits to ONE tier up front (escalating after bytes
+        were shown would contradict the output), chosen by the task
+        classifier's recommendation scaled by lambda — the reference's
+        quality-critical routing role (serving_config.py:55-63)."""
+        from ..utils.taxonomy import TaskClassifier
+
+        lam = request.lambda_override if request.lambda_override is not None else self._lam
+        chars = TaskClassifier().classify(request.prompt)
+        stage_idx = TaskClassifier().recommend_stage(chars, self.n_stages)
+        if lam >= 2.0:  # cost-pressured: bias down a tier
+            stage_idx = max(stage_idx - 1, 0)
+        stage = self.stages[stage_idx]
+        if not hasattr(stage, "stream_text"):
+            raise OptimizationError(f"stage {stage.name} does not support streaming")
+        t0 = time.perf_counter()
+        n_chunks = 0
+        for chunk in stage.stream_text(
+            request.prompt,
+            max_new=request.max_tokens,
+            temperature=request.temperature,
+            top_p=request.top_p,
+        ):
+            n_chunks += 1
+            yield chunk
+        yield {
+            "final_stage": stage_idx,
+            "final_stage_name": stage.name,
+            "chunks": n_chunks,
+            "latency_s": time.perf_counter() - t0,
+        }
 
     # ----------------------------------------------------------------- admin
     def update_lambda(self, lam: float) -> None:

@@ -110,6 +110,20 @@ class EngineTextStage:
             )
         return results
 
+    def stream_text(self, prompt: str, max_new=256, temperature=0.0, top_p=1.0):
+        """Incremental text chunks (reference generate_stream contract)."""
+        toks = self.tokenize(prompt)
+        emitted = ""
+        collected: list[int] = []
+        for tok, _lp in self.engine.stream(
+            toks, max_new=max_new, temperature=temperature, top_p=top_p
+        ):
+            collected.append(tok)
+            text = self.detokenize(collected)
+            if len(text) > len(emitted):
+                yield text[len(emitted):]
+                emitted = text
+
     def warmup(self) -> None:
         self.engine.warmup()
 
@@ -172,6 +186,11 @@ class MockStage:
                 )
             )
         return outs
+
+    def stream_text(self, prompt: str, max_new=256, temperature=0.0, top_p=1.0):
+        out = self.generate_text([prompt], max_new=max_new)[0]
+        for word in out.text.split(" "):
+            yield word + " "
 
     def warmup(self) -> None:
         self.generate_text(["warmup"], max_new=4)

@@ -378,6 +378,49 @@ class TierEngine:
         self.total_decode_time_s += dt
         return results
 
+    # streaming ---------------------------------------------------------------
+    def stream(
+        self,
+        prompt: Sequence[int],
+        *,
+        max_new: int = 128,
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        seed: int = 0,
+    ):
+        """Token-by-token generator (reference ModelStage.generate_stream
+        contract, src/core/interfaces.py:81). Uses the stepwise graphs —
+        one dispatch per token is inherent to streaming. Yields
+        (token_id, logprob)."""
+        S = _bucket_len(len(prompt), self.page_size)
+        max_pages = (S + max_new + self.page_size - 1) // self.page_size + 1
+        rid = f"str{id(self)}_{time.monotonic_ns()}"
+        pages = self.allocator.alloc(rid, max_pages)
+        try:
+            tokens = np.full((1, S), PAD_ID, np.int32)
+            tokens[0, : len(prompt)] = np.asarray(prompt, np.int32)
+            tables = jnp.asarray(np.asarray(pages, np.int32)[None, :])
+            logits = self.prefill_batch(
+                jnp.asarray(tokens), jnp.asarray([len(prompt)], np.int32), tables
+            )
+            key = jax.random.key(seed)
+            pos = len(prompt)
+            for step in range(max_new):
+                key, kk = jax.random.split(key)
+                res = sample(logits, kk, temperature=temperature, top_p=top_p)
+                tok = int(res.token[0])
+                yield tok, float(res.logprob[0])
+                if self.eos_id is not None and tok == self.eos_id:
+                    return
+                if step == max_new - 1:
+                    return
+                logits = self.decode_batch(
+                    jnp.asarray([tok], np.int32), jnp.asarray([pos], np.int32), tables
+                )
+                pos += 1
+        finally:
+            self.allocator.free_request(rid)
+
     # on-device stopping ------------------------------------------------------
     def generate_with_policy(
         self,

@@ -168,6 +168,44 @@ def build_app(
     async def cache_stats(request: web.Request) -> web.Response:
         return web.json_response(request.app["pipeline"].cache.stats())
 
+    async def generate_stream(request: web.Request) -> web.StreamResponse:
+        """SSE streaming endpoint: `data: <chunk>` lines, then a final
+        `event: done` with routing metadata."""
+        body = GenerationRequest(**await request.json())
+        pipe: AdaptiveCascadePipeline = request.app["pipeline"]
+        ctx = RequestContext(
+            prompt=body.prompt,
+            max_tokens=body.max_tokens,
+            temperature=body.temperature,
+            top_p=body.top_p,
+            lambda_override=body.lambda_override,
+        )
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}
+        )
+        await resp.prepare(request)
+        loop = asyncio.get_running_loop()
+        gen = pipe.stream_request(ctx)
+
+        def pull():
+            try:
+                return next(gen)
+            except StopIteration:
+                return None
+
+        while True:
+            item = await loop.run_in_executor(None, pull)
+            if item is None:
+                break
+            if isinstance(item, dict):
+                await resp.write(
+                    f"event: done\ndata: {json.dumps(item)}\n\n".encode()
+                )
+            else:
+                await resp.write(f"data: {json.dumps(item)}\n\n".encode())
+        await resp.write_eof()
+        return resp
+
     async def metrics(request: web.Request) -> web.Response:
         from ..utils.metrics import global_metrics
 
@@ -179,6 +217,7 @@ def build_app(
     app.router.add_get("/metrics", metrics)
     app.router.add_get("/health", health)
     app.router.add_post("/generate", generate)
+    app.router.add_post("/generate_stream", generate_stream)
     app.router.add_post("/batch_generate", batch_generate)
     app.router.add_get("/stats", stats)
     app.router.add_post("/update_lambda", update_lambda)

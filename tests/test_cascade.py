@@ -244,3 +244,32 @@ class TestStrategies:
         outs = [pipe.process_request(RequestContext(prompt=f"u{i}")) for i in range(30)]
         assert all(o.succeeded for o in outs)
         assert pipe._ucb.counts.sum() > 0
+
+
+class TestStageFaultIsolation:
+    def test_failing_stage_escalates(self, predictor):
+        class BrokenStage(MockStage):
+            def generate_text(self, *a, **k):
+                raise RuntimeError("device lost")
+
+        stages = StageManager(
+            [
+                BrokenStage("bad", cost_per_token=1.0, capacity=0.5),
+                MockStage("good", cost_per_token=4.0, capacity=0.97),
+            ]
+        )
+        pipe = AdaptiveCascadePipeline(stages, predictor, PipelineConfig(enable_caching=False))
+        res = pipe.process_request(RequestContext(prompt="route around failure"))
+        assert res.succeeded, res.error
+        assert res.final_stage == 1 and "good" in res.final_stage_name
+
+    def test_all_stages_failing_reports_error(self, predictor):
+        class BrokenStage(MockStage):
+            def generate_text(self, *a, **k):
+                raise RuntimeError("device lost")
+
+        stages = StageManager([BrokenStage("b0", cost_per_token=1.0)])
+        pipe = AdaptiveCascadePipeline(stages, predictor, PipelineConfig(enable_caching=False))
+        res = pipe.process_request(RequestContext(prompt="doomed"))
+        assert not res.succeeded
+        assert "device lost" in res.error

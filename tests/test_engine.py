@@ -275,3 +275,22 @@ class TestContinuousBatchingScheduler:
         sched = ContinuousBatchingScheduler(eng, max_batch=2, max_context=32)
         with pytest.raises(ResourceError):
             sched.submit(list(range(1, 30)), max_new=16)
+
+
+class TestStreaming:
+    def test_stream_matches_fused(self, tiny_params):
+        eng = TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=64, use_pallas=False)
+        fused = eng.generate([[4, 8, 15]], max_new=5)[0]
+        streamed = [tok for tok, _ in eng.stream([4, 8, 15], max_new=5)]
+        assert streamed == fused.token_ids.tolist()
+        assert eng.allocator.stats().active_requests == 0
+
+    def test_stream_stops_at_eos(self, tiny_params):
+        eng = TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=64, use_pallas=False)
+        probe = [t for t, _ in eng.stream([4, 8, 15], max_new=4)]
+        eos = probe[1]
+        eng2 = TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=64,
+                          use_pallas=False, eos_id=eos)
+        toks = [t for t, _ in eng2.stream([4, 8, 15], max_new=4)]
+        # stops at the FIRST occurrence of eos (which may repeat in probe)
+        assert toks == probe[: probe.index(eos) + 1]

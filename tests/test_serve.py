@@ -149,3 +149,18 @@ def test_rate_limit(pipeline):
         assert 429 in statuses  # tiny bucket must throttle a burst
 
     with_client(pipeline, t, rate_limit_rps=1.0)
+
+
+def test_generate_stream_sse(pipeline):
+    async def t(client):
+        async with client.post(
+            "/generate_stream", json={"prompt": "stream me a story please"}
+        ) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/event-stream")
+            body = (await r.read()).decode()
+        assert "data: " in body
+        assert "event: done" in body
+        assert '"final_stage"' in body
+
+    with_client(pipeline, t)
