@@ -1,8 +1,10 @@
 from .mesh import (
+    AXIS_DCN,
     AXIS_DP,
     AXIS_TP,
     TierPlacement,
     build_mesh,
+    build_multihost_mesh,
     plan_tier_placements,
     virtual_cpu_devices,
 )

@@ -19,9 +19,11 @@ from jax.sharding import Mesh
 
 from ..core.exceptions import ShardingError
 
-# Canonical axis names: dp = data (batch) parallel, tp = tensor parallel.
+# Canonical axis names: dp = data (batch) parallel, tp = tensor parallel,
+# dcn = the cross-host data-center-network axis (slowest; outermost).
 AXIS_DP = "dp"
 AXIS_TP = "tp"
+AXIS_DCN = "dcn"
 
 
 def build_mesh(
@@ -104,6 +106,31 @@ def plan_tier_placements(
         )
         cursor += n
     return placements
+
+
+def build_multihost_mesh(
+    dp: int = 1,
+    tp: int = 1,
+    dcn: Optional[int] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """(dcn, dp, tp) mesh for multi-host slices: the dcn axis is outermost so
+    only data-parallel collectives (cheap, infrequent) cross hosts while
+    tensor-parallel collectives stay on intra-host/slice ICI — the
+    scaling-book recipe. ``dcn`` defaults to ``jax.process_count()``.
+
+    On a single process this degenerates to a 3-axis mesh over local devices
+    (dcn=1), so sharding rules written against all three axes test on the
+    virtual CPU mesh unchanged.
+    """
+    devs = list(devices) if devices is not None else jax.devices()
+    n_dcn = dcn if dcn is not None else max(jax.process_count(), 1)
+    if n_dcn * dp * tp != len(devs):
+        raise ShardingError(
+            f"mesh {n_dcn}x{dp}x{tp} needs {n_dcn * dp * tp} devices, have {len(devs)}"
+        )
+    arr = np.asarray(devs).reshape(n_dcn, dp, tp)
+    return Mesh(arr, (AXIS_DCN, AXIS_DP, AXIS_TP))
 
 
 def virtual_cpu_devices(n: int = 8) -> list[jax.Device]:

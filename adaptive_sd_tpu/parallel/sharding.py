@@ -121,9 +121,12 @@ def shard_cache(cache, spec: ModelSpec, mesh: Mesh):
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Requests (tokens, tables, seq_lens) shard their batch dim over dp."""
-    from .mesh import AXIS_DP
+    """Requests (tokens, tables, seq_lens) shard their batch dim over the
+    data-parallel axes — (dcn, dp) on multi-host meshes, dp otherwise."""
+    from .mesh import AXIS_DCN, AXIS_DP
 
+    if AXIS_DCN in mesh.axis_names:
+        return NamedSharding(mesh, P((AXIS_DCN, AXIS_DP)))
     return NamedSharding(mesh, P(AXIS_DP))
 
 

@@ -159,3 +159,41 @@ class TestDisjointTierPlacement:
         devs_b = eng_b.params["layers"][0]["q_proj"].sharding.device_set
         assert devs_a.isdisjoint(devs_b)
         assert len(devs_a) == 4 and len(devs_b) == 4
+
+
+class TestMultihostMesh:
+    def test_dcn_dp_tp_mesh_runs_prefill(self, eight_devices):
+        """(dcn=2, dp=2, tp=2) mesh on the virtual CPU devices: batch shards
+        over (dcn, dp), weights over tp; sharded prefill executes."""
+        from adaptive_sd_tpu.engine import PagedKVCache
+        from adaptive_sd_tpu.models import TINY128, init_params
+        from adaptive_sd_tpu.models.qwen import prefill
+        from adaptive_sd_tpu.parallel import build_multihost_mesh
+
+        mesh = build_multihost_mesh(dp=2, tp=2, dcn=2)
+        assert mesh.shape == {"dcn": 2, "dp": 2, "tp": 2}
+        params = shard_params(
+            init_params(TINY128, jax.random.key(0), jnp.float32), TINY128, mesh
+        )
+        cache = shard_cache(PagedKVCache.create(TINY128, 16, PAGE), TINY128, mesh)
+        bs = batch_sharding(mesh)
+        assert "dcn" in str(bs.spec)
+        B, S = 4, PAGE
+        rng = np.random.default_rng(0)
+        toks = jax.device_put(
+            jnp.asarray(rng.integers(1, TINY128.vocab_size, (B, S)), jnp.int32), bs
+        )
+        lens = jax.device_put(jnp.full((B,), S // 2, jnp.int32), bs)
+        tables = jax.device_put(
+            jnp.asarray(rng.permutation(16).reshape(B, 4), jnp.int32), bs
+        )
+        f = jax.jit(lambda p, t, sl, c, bt: prefill(p, TINY128, t, sl, c, bt, use_pallas=False))
+        logits, _ = f(params, toks, lens, cache, tables)
+        assert logits.shape == (B, TINY128.vocab_size)
+        assert np.all(np.isfinite(np.asarray(logits, np.float32)))
+
+    def test_bad_factorization(self, eight_devices):
+        from adaptive_sd_tpu.parallel import build_multihost_mesh
+
+        with pytest.raises(ShardingError):
+            build_multihost_mesh(dp=3, tp=2, dcn=2)
