@@ -41,11 +41,13 @@ def rms_norm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     return (x32 * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
 
 
-def linear(x: jax.Array, w, bias=None, *, use_pallas: bool = True) -> jax.Array:
-    """Dispatch on weight type: QuantizedTensor -> dequant-matmul kernel,
-    raw array -> plain dot."""
+def linear(
+    x: jax.Array, w, bias=None, *, use_pallas: bool = True, act_quant: bool = False
+) -> jax.Array:
+    """Dispatch on weight type: QuantizedTensor -> dequant-matmul kernel
+    (W8A8 dynamic path when act_quant), raw array -> plain dot."""
     if isinstance(w, QuantizedTensor):
-        y = linear_q(x, w, use_pallas=use_pallas)
+        y = linear_q(x, w, use_pallas=use_pallas, act_quant=act_quant)
     else:
         y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
     if bias is not None:
@@ -133,12 +135,12 @@ def quantize_model(params: Params, bits: int = 8, quantize_lm_head: bool = True)
 # forward passes
 
 
-def _logits(params: Params, spec: ModelSpec, h: jax.Array, *, use_pallas: bool) -> jax.Array:
+def _logits(params: Params, spec: ModelSpec, h: jax.Array, *, use_pallas: bool, act_quant: bool = False) -> jax.Array:
     h = rms_norm(h, params["final_norm"], spec.rms_eps)
     if spec.tie_embeddings:
         w = params["embed"]
         return jnp.dot(h, w.T.astype(h.dtype), preferred_element_type=jnp.float32)
-    return linear(h, params["lm_head"], use_pallas=use_pallas).astype(jnp.float32)
+    return linear(h, params["lm_head"], use_pallas=use_pallas, act_quant=act_quant).astype(jnp.float32)
 
 
 def _attn_shapes(spec: ModelSpec, qkv: jax.Array, n_heads: int) -> jax.Array:
@@ -155,6 +157,7 @@ def prefill(
     block_tables: jax.Array,  # [B, max_pages] int32
     *,
     use_pallas: bool = True,
+    act_quant: bool = False,
     return_hidden: bool = False,
 ):
     """Process full prompts; returns (last-token logits [B, V] f32, cache)
@@ -170,34 +173,34 @@ def prefill(
 
     for li, layer in enumerate(params["layers"]):
         x = rms_norm(h, layer["input_norm"], spec.rms_eps)
-        q = linear(x, layer["q_proj"], layer.get("q_bias"), use_pallas=use_pallas)
-        k = linear(x, layer["k_proj"], layer.get("k_bias"), use_pallas=use_pallas)
-        v = linear(x, layer["v_proj"], layer.get("v_bias"), use_pallas=use_pallas)
+        q = linear(x, layer["q_proj"], layer.get("q_bias"), use_pallas=use_pallas, act_quant=act_quant)
+        k = linear(x, layer["k_proj"], layer.get("k_bias"), use_pallas=use_pallas, act_quant=act_quant)
+        v = linear(x, layer["v_proj"], layer.get("v_bias"), use_pallas=use_pallas, act_quant=act_quant)
         q = apply_rope(_attn_shapes(spec, q, spec.n_heads), cos, sin)
         k = apply_rope(_attn_shapes(spec, k, spec.n_kv_heads), cos, sin)
         v = _attn_shapes(spec, v, spec.n_kv_heads)
 
         attn = prefill_attention(q, k, v, sm_scale=sm_scale, seq_lens=seq_lens)
         attn = attn.reshape(B, S, spec.n_heads * spec.head_dim)
-        h = h + linear(attn, layer["o_proj"], use_pallas=use_pallas)
+        h = h + linear(attn, layer["o_proj"], use_pallas=use_pallas, act_quant=act_quant)
 
         cache = cache.write_prefill(li, k, v, block_tables, seq_lens)
 
         x = rms_norm(h, layer["post_norm"], spec.rms_eps)
-        gate = linear(x, layer["gate_proj"], use_pallas=use_pallas)
-        up = linear(x, layer["up_proj"], use_pallas=use_pallas)
-        h = h + linear(jax.nn.silu(gate) * up, layer["down_proj"], use_pallas=use_pallas)
+        gate = linear(x, layer["gate_proj"], use_pallas=use_pallas, act_quant=act_quant)
+        up = linear(x, layer["up_proj"], use_pallas=use_pallas, act_quant=act_quant)
+        h = h + linear(jax.nn.silu(gate) * up, layer["down_proj"], use_pallas=use_pallas, act_quant=act_quant)
 
     last = jnp.take_along_axis(h, (seq_lens - 1)[:, None, None], axis=1)[:, 0]  # [B, H]
-    logits = _logits(params, spec, last, use_pallas=use_pallas)
+    logits = _logits(params, spec, last, use_pallas=use_pallas, act_quant=act_quant)
     if return_hidden:
         return logits, cache, h
     return logits, cache
 
 
-def logits_at(params: Params, spec: ModelSpec, h: jax.Array, *, use_pallas: bool = True):
+def logits_at(params: Params, spec: ModelSpec, h: jax.Array, *, use_pallas: bool = True, act_quant: bool = False):
     """Per-position logits from prefill hidden states (speculative verify)."""
-    return _logits(params, spec, h, use_pallas=use_pallas)
+    return _logits(params, spec, h, use_pallas=use_pallas, act_quant=act_quant)
 
 
 def decode_step(
@@ -209,6 +212,7 @@ def decode_step(
     block_tables: jax.Array,  # [B, max_pages]
     *,
     use_pallas: bool = True,
+    act_quant: bool = False,
 ):
     """One decode step for the whole batch; returns (logits [B, V] f32, cache)."""
     B = tokens.shape[0]
@@ -220,9 +224,9 @@ def decode_step(
 
     for li, layer in enumerate(params["layers"]):
         x = rms_norm(h, layer["input_norm"], spec.rms_eps)
-        q = linear(x, layer["q_proj"], layer.get("q_bias"), use_pallas=use_pallas)
-        k = linear(x, layer["k_proj"], layer.get("k_bias"), use_pallas=use_pallas)
-        v = linear(x, layer["v_proj"], layer.get("v_bias"), use_pallas=use_pallas)
+        q = linear(x, layer["q_proj"], layer.get("q_bias"), use_pallas=use_pallas, act_quant=act_quant)
+        k = linear(x, layer["k_proj"], layer.get("k_bias"), use_pallas=use_pallas, act_quant=act_quant)
+        v = linear(x, layer["v_proj"], layer.get("v_bias"), use_pallas=use_pallas, act_quant=act_quant)
         q = apply_rope(_attn_shapes(spec, q, spec.n_heads), cos[:, None, :], sin[:, None, :])
         k = apply_rope(_attn_shapes(spec, k, spec.n_kv_heads), cos[:, None, :], sin[:, None, :])
         v = _attn_shapes(spec, v, spec.n_kv_heads)  # [B, n_kv, D]
@@ -241,11 +245,11 @@ def decode_step(
             sm_scale=sm_scale,
         )
         attn = attn.reshape(B, spec.n_heads * spec.head_dim)
-        h = h + linear(attn, layer["o_proj"], use_pallas=use_pallas)
+        h = h + linear(attn, layer["o_proj"], use_pallas=use_pallas, act_quant=act_quant)
 
         x = rms_norm(h, layer["post_norm"], spec.rms_eps)
-        gate = linear(x, layer["gate_proj"], use_pallas=use_pallas)
-        up = linear(x, layer["up_proj"], use_pallas=use_pallas)
-        h = h + linear(jax.nn.silu(gate) * up, layer["down_proj"], use_pallas=use_pallas)
+        gate = linear(x, layer["gate_proj"], use_pallas=use_pallas, act_quant=act_quant)
+        up = linear(x, layer["up_proj"], use_pallas=use_pallas, act_quant=act_quant)
+        h = h + linear(jax.nn.silu(gate) * up, layer["down_proj"], use_pallas=use_pallas, act_quant=act_quant)
 
-    return _logits(params, spec, h, use_pallas=use_pallas), cache
+    return _logits(params, spec, h, use_pallas=use_pallas, act_quant=act_quant), cache

@@ -202,3 +202,37 @@ class TestPrefillFusedVsRef:
             np.testing.assert_allclose(
                 np.asarray(out[b, :L]), np.asarray(ref[b, :L]), rtol=2e-4, atol=2e-4
             )
+
+
+class TestW8A8:
+    def test_w8a8_matches_reference(self, rng):
+        from adaptive_sd_tpu.ops.matmul_q import quantized_matmul_w8a8
+
+        K, N, M = 512, 256, 8
+        w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32))
+        x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+        t = quantize_int8(w)
+        y = quantized_matmul_w8a8(x, t.q, t.scale, interpret=True)
+        y_true = x @ w
+        rel = float(jnp.linalg.norm(y - y_true) / jnp.linalg.norm(y_true))
+        assert rel < 0.03  # weight + activation int8 rounding
+
+    def test_w8a8_irregular_fallback(self, rng):
+        from adaptive_sd_tpu.ops.matmul_q import quantized_matmul_w8a8
+
+        w = jnp.asarray(rng.normal(size=(100, 96)).astype(np.float32))
+        x = jnp.asarray(rng.normal(size=(3, 100)).astype(np.float32))
+        t = quantize_int8(w)
+        y = quantized_matmul_w8a8(x, t.q, t.scale, interpret=True)
+        assert y.shape == (3, 96)
+
+    def test_linear_q_act_quant_path(self, rng):
+        from adaptive_sd_tpu.ops.matmul_q import linear_q
+
+        w = jnp.asarray(rng.normal(size=(256, 128)).astype(np.float32))
+        x = jnp.asarray(rng.normal(size=(2, 5, 256)).astype(np.float32))
+        t = quantize_int8(w)
+        y = linear_q(x, t, use_pallas=True, act_quant=True)
+        y_ref = linear_q(x, t, use_pallas=False)
+        rel = float(jnp.linalg.norm(y - y_ref) / jnp.linalg.norm(y_ref))
+        assert y.shape == (2, 5, 128) and rel < 0.03
