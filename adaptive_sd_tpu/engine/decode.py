@@ -60,14 +60,15 @@ class GenerationOutput:
         return int(self.token_ids.shape[0])
 
 
-def _make_generate_fn(spec: ModelSpec, use_pallas: bool):
+def _make_generate_fn(spec: ModelSpec, use_pallas: bool, act_quant: bool = False):
     """Fused prefill + while-loop decode. Static over (max_new, temperature,
     top_p, eos_id); traced over token/table/cache shapes."""
 
     def fn(params, tokens, seq_lens, block_tables, cache, key, *, max_new, temperature, top_p, eos_id):
         B = tokens.shape[0]
         logits, cache = prefill(
-            params, spec, tokens, seq_lens, cache, block_tables, use_pallas=use_pallas
+            params, spec, tokens, seq_lens, cache, block_tables,
+            use_pallas=use_pallas, act_quant=act_quant,
         )
         key, k0 = jax.random.split(key)
         first = sample(logits, k0, temperature=temperature, top_p=top_p)
@@ -90,7 +91,8 @@ def _make_generate_fn(spec: ModelSpec, use_pallas: bool):
                 active = jnp.logical_and(active, tok.token != eos_id)
             positions = seq_lens + i  # position of the token being fed
             logits, cache = decode_step(
-                params, spec, tok.token, positions, cache, block_tables, use_pallas=use_pallas
+                params, spec, tok.token, positions, cache, block_tables,
+                use_pallas=use_pallas, act_quant=act_quant,
             )
             key, kk = jax.random.split(key)
             nxt = sample(logits, kk, temperature=temperature, top_p=top_p)
@@ -103,7 +105,7 @@ def _make_generate_fn(spec: ModelSpec, use_pallas: bool):
     return fn
 
 
-def _make_verify_continue_fn(spec: ModelSpec, use_pallas: bool):
+def _make_verify_continue_fn(spec: ModelSpec, use_pallas: bool, act_quant: bool = False):
     """Speculative escalation: ONE prefill over [prompt + draft] verifies the
     draft in parallel (greedy acceptance: longest prefix where this model's
     argmax equals the draft token), emits the model's own token at the first
@@ -131,13 +133,13 @@ def _make_verify_continue_fn(spec: ModelSpec, use_pallas: bool):
         B, S = tokens.shape
         _, cache, h = prefill(
             params, spec, tokens, total_lens, cache, block_tables,
-            use_pallas=use_pallas, return_hidden=True,
+            use_pallas=use_pallas, act_quant=act_quant, return_hidden=True,
         )
         # Hidden state at position prompt_lens-1+i predicts draft token i.
         pos = prompt_lens[:, None] - 1 + jnp.arange(max_draft)[None, :]
         pos_c = jnp.clip(pos, 0, S - 1)
         h_sel = jnp.take_along_axis(h, pos_c[:, :, None], axis=1)      # [B, Dw, H]
-        logits_d = logits_at(params, spec, h_sel, use_pallas=use_pallas)  # [B, Dw, V]
+        logits_d = logits_at(params, spec, h_sel, use_pallas=use_pallas, act_quant=act_quant)  # [B, Dw, V]
         logp_d = jax.nn.log_softmax(logits_d, axis=-1)
         pred = jnp.argmax(logits_d, axis=-1).astype(jnp.int32)          # [B, Dw]
 
@@ -198,7 +200,7 @@ def _make_verify_continue_fn(spec: ModelSpec, use_pallas: bool):
             positions = prompt_lens + wr  # position of the token being fed
             logits, cache = decode_step(
                 params, spec, tok.token, positions, cache, block_tables,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, act_quant=act_quant,
             )
             key, kk = jax.random.split(key)
             nxt = sample(logits, kk, temperature=temperature, top_p=top_p)
@@ -229,6 +231,7 @@ class TierEngine:
         cost_per_token: float = 1.0,
         donate_cache: bool = True,
         mesh=None,
+        act_quant: bool = False,
     ) -> None:
         """``mesh``: optional jax Mesh (a disjoint sub-mesh of the pod slice,
         parallel.plan_tier_placements) — params and KV pages are GSPMD-
@@ -243,6 +246,7 @@ class TierEngine:
         if mesh is not None and np.prod([mesh.shape[a] for a in mesh.axis_names]) > 1:
             use_pallas = False
         self.use_pallas = use_pallas
+        self.act_quant = act_quant
         self.eos_id = eos_id
         self.cost_per_token = cost_per_token
         from .native_bridge import make_page_allocator
@@ -256,14 +260,14 @@ class TierEngine:
             cache = shard_cache(cache, spec, mesh)
         self.params = params
         self.cache = cache
-        self._generate_raw = _make_generate_fn(spec, use_pallas)
+        self._generate_raw = _make_generate_fn(spec, use_pallas, act_quant)
         donate = (4,) if donate_cache else ()
         self._generate_jit = jax.jit(
             self._generate_raw,
             static_argnames=("max_new", "temperature", "top_p", "eos_id"),
             donate_argnums=donate,
         )
-        self._verify_raw = _make_verify_continue_fn(spec, use_pallas)
+        self._verify_raw = _make_verify_continue_fn(spec, use_pallas, act_quant)
         self._verify_jit = jax.jit(
             self._verify_raw,
             static_argnames=("max_new", "max_draft", "temperature", "top_p", "eos_id"),
@@ -298,12 +302,14 @@ class TierEngine:
     # single-step graphs for the continuous-batching scheduler ---------------
     def _prefill_fn(self, params, tokens, seq_lens, block_tables, cache):
         return prefill(
-            params, self.spec, tokens, seq_lens, cache, block_tables, use_pallas=self.use_pallas
+            params, self.spec, tokens, seq_lens, cache, block_tables,
+            use_pallas=self.use_pallas, act_quant=self.act_quant,
         )
 
     def _decode_fn(self, params, tokens, positions, cache, block_tables):
         return decode_step(
-            params, self.spec, tokens, positions, cache, block_tables, use_pallas=self.use_pallas
+            params, self.spec, tokens, positions, cache, block_tables,
+            use_pallas=self.use_pallas, act_quant=self.act_quant,
         )
 
     def prefill_batch(self, tokens: jax.Array, seq_lens: jax.Array, block_tables: jax.Array):
