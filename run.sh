@@ -34,6 +34,8 @@ case "${1:-}" in
   profile)     shift; python scripts/profile_costs.py --mock "$@" ;;
   profile-tpu) shift; python scripts/profile_costs.py --synthetic "$@" ;;
   sweep)       shift; python scripts/evaluate.py "$@" ;;
+  plot)        shift; python scripts/plot_results.py "$@" ;;
+  download)    shift; python scripts/download_models.py "$@" ;;
   native)      shift; ./native/build.sh ;;
   *)           usage; exit 1 ;;
 esac
