@@ -208,6 +208,16 @@ class AdaptiveCascadePipeline:
                             temperature=request.temperature,
                             top_p=request.top_p,
                         )[0]
+                    elif getattr(stage, "inline_policy", None) is not None:
+                        outs, escalate, p_hat = stage.generate_with_inline_policy(
+                            [request.prompt],
+                            max_new=request.max_tokens,
+                            temperature=request.temperature,
+                            top_p=request.top_p,
+                        )
+                        output = outs[0]
+                        output._inline_escalate = bool(escalate[0])
+                        output._inline_p_hat = float(p_hat[0])
                     else:
                         output = stage.generate_text(
                             [request.prompt],
@@ -239,9 +249,15 @@ class AdaptiveCascadePipeline:
 
                 is_last = i == self.n_stages - 1
                 t_dec = time.perf_counter()
+                inline_flag = getattr(output, "_inline_escalate", None)
                 if is_last:
                     p_raw = 1.0  # reference pipeline.py:242 pins the last stage
                     pred = None
+                elif inline_flag is not None:
+                    # On-device policy already decided (stages.py inline path);
+                    # its p_hat arrived with the tokens.
+                    pred = None
+                    p_raw = float(getattr(output, "_inline_p_hat", 0.5))
                 else:
                     pred = self.predictor.predict(
                         request.prompt, output.text, output.logprobs, i
@@ -256,7 +272,11 @@ class AdaptiveCascadePipeline:
                 ) if not is_last else 1.0
                 probs.append(p_adj)
 
-                k_star, v0 = self._decide(probs, lam)
+                if inline_flag is not None and not is_last:
+                    k_star = i + 1 if inline_flag else i
+                    v0 = 0.0
+                else:
+                    k_star, v0 = self._decide(probs, lam)
                 dec_time = time.perf_counter() - t_dec
                 stop = k_star <= i or is_last
                 if self.config.quality_floor and p_adj < self.config.quality_floor:

@@ -42,6 +42,8 @@ class EngineTextStage:
         *,
         name: Optional[str] = None,
         cost_per_token: Optional[float] = None,
+        inline_policy=None,                       # predict.inline.InlinePolicyParams
+        stage_index: int = 0,
     ) -> None:
         self.engine = engine
         self.tokenize = tokenize
@@ -50,6 +52,43 @@ class EngineTextStage:
         self.cost_per_token = (
             cost_per_token if cost_per_token is not None else engine.cost_per_token
         )
+        self.inline_policy = inline_policy
+        self.stage_index = stage_index
+
+    def generate_with_inline_policy(
+        self, prompts, max_new=256, temperature=0.0, top_p=1.0
+    ):
+        """On-device stopping path: tokens AND escalation flags come back in
+        one device fetch (engine.generate_with_policy). Returns
+        (ModelOutputs, escalate ndarray[bool], p_hat ndarray)."""
+        if self.inline_policy is None:
+            raise ValueError(f"stage {self.name} has no inline policy attached")
+        tok_prompts = [self.tokenize(p) for p in prompts]
+        t0 = time.perf_counter()
+        outs, escalate, p_hat = self.engine.generate_with_policy(
+            tok_prompts,
+            self.inline_policy,
+            self.stage_index,
+            max_new=max_new,
+            temperature=temperature,
+            top_p=top_p,
+        )
+        dt = time.perf_counter() - t0
+        results = []
+        for tp, out in zip(tok_prompts, outs):
+            results.append(
+                ModelOutput(
+                    text=self.detokenize(out.token_ids.tolist()),
+                    token_ids=out.token_ids,
+                    logprobs=out.logprobs,
+                    num_prompt_tokens=len(tp),
+                    num_generated_tokens=out.num_tokens,
+                    generation_time_s=dt,
+                    tokens_per_second=out.num_tokens / dt if dt > 0 else 0.0,
+                    stage_name=self.name,
+                )
+            )
+        return results, escalate, p_hat
 
     def generate_text(self, prompts, max_new=256, temperature=0.0, top_p=1.0):
         tok_prompts = [self.tokenize(p) for p in prompts]

@@ -100,3 +100,64 @@ class TestFusedGenerateWithPolicy:
         for a, b in zip(outs, plain):
             assert a.token_ids.tolist() == b.token_ids.tolist()
         assert eng.allocator.stats().active_requests == 0
+
+
+class TestInlinePolicyInPipeline:
+    def _pipeline(self, lam):
+        import jax
+        import jax.numpy as jnp
+
+        from adaptive_sd_tpu.cascade import (
+            AdaptiveCascadePipeline,
+            EngineTextStage,
+            PipelineConfig,
+            StageManager,
+        )
+        from adaptive_sd_tpu.engine import TierEngine
+
+        X, y, _ = generate_synthetic(n_prompts=150, seed=3)
+        inline_pred = train_inline_predictor(X, y, epochs=8, patience=3)
+        pol = policy_from_predictor(
+            inline_pred, costs=[1.0, 4.0], priors=[0.6, 0.99], lam=lam
+        )
+        host_pred_stub = type(
+            "P", (), {"predict": lambda self, *a: (_ for _ in ()).throw(
+                AssertionError("host predictor must not be called on inline stage"))}
+        )()
+        stages = []
+        for i, name in enumerate(["small", "large"]):
+            params = init_params(TINY, jax.random.key(i), dtype=jnp.float32)
+            eng = TierEngine(TINY, params, page_size=16, n_pages=256, use_pallas=False)
+            stages.append(
+                EngineTextStage(
+                    eng,
+                    lambda t: [(ord(c) % 255) + 1 for c in t[:32]] or [1],
+                    lambda ids: " ".join(map(str, ids)),
+                    name=name,
+                    cost_per_token=[1.0, 4.0][i],
+                    inline_policy=pol if i == 0 else None,
+                    stage_index=i,
+                )
+            )
+        return AdaptiveCascadePipeline(
+            StageManager(stages), host_pred_stub,
+            PipelineConfig(lam=lam, enable_caching=False, max_new_tokens=6),
+        )
+
+    def test_device_decision_drives_routing(self):
+        from adaptive_sd_tpu.core.types import RequestContext
+
+        # enormous lambda: on-device DP must never escalate
+        pipe = self._pipeline(lam=50.0)
+        res = pipe.process_request(RequestContext(prompt="whatever", max_tokens=6))
+        assert res.succeeded, res.error
+        assert res.final_stage == 0
+        assert "on-device" not in (res.error or "")
+
+        # tiny lambda with a pessimistic-ish prior: escalation happens on
+        # low-confidence drafts (random weights -> flat logprobs)
+        pipe2 = self._pipeline(lam=0.01)
+        res2 = pipe2.process_request(RequestContext(prompt="whatever", max_tokens=6))
+        assert res2.succeeded, res2.error
+        # decision came from the device flag either way; host stub would raise
+        assert res2.final_stage in (0, 1)
