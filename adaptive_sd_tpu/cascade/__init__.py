@@ -1,4 +1,11 @@
 from .cache_manager import CacheEntry, CascadeCacheManager
+from .calibration import CALIBRATION_PROMPTS, calibrate_costs
+from .cost_optimizer import (
+    DynamicCostOptimizer,
+    LoadPredictor,
+    OptimizerTargets,
+    PerformanceMonitor,
+)
 from .pipeline import AdaptiveCascadePipeline, PipelineConfig
 from .stages import EngineTextStage, MockStage, StageManager, TextStage
 

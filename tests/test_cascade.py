@@ -273,3 +273,74 @@ class TestStageFaultIsolation:
         res = pipe.process_request(RequestContext(prompt="doomed"))
         assert not res.succeeded
         assert "device lost" in res.error
+
+
+class TestCalibration:
+    def test_measured_costs_installed(self, predictor):
+        from adaptive_sd_tpu.cascade import calibrate_costs
+
+        stages = StageManager(
+            [
+                MockStage("fast", cost_per_token=1.0, capacity=0.6,
+                          latency_per_token_s=0.0002),
+                MockStage("slow", cost_per_token=2.0, capacity=0.97,
+                          latency_per_token_s=0.001),
+            ]
+        )
+        pipe = AdaptiveCascadePipeline(stages, predictor, PipelineConfig(enable_caching=False))
+        ratios = calibrate_costs(pipe, max_new=8, repetitions=1)
+        assert ratios[0] == pytest.approx(1.0)
+        assert ratios[1] > 2.0  # slow stage measured ~5x
+        assert pipe.costs[1] == pytest.approx(ratios[0] + ratios[1])
+
+
+class TestDynamicCostOptimizer:
+    def test_latency_pressure_raises_lambda(self, stages, predictor):
+        from adaptive_sd_tpu.cascade import DynamicCostOptimizer, OptimizerTargets
+
+        pipe = AdaptiveCascadePipeline(stages, predictor, PipelineConfig(lam=1.0))
+        opt = DynamicCostOptimizer(
+            pipe, OptimizerTargets(target_latency_s=0.01), interval_s=999
+        )
+        for _ in range(20):
+            opt.monitor.record(latency_s=0.5, quality=0.9, error=False)
+        report = opt.optimize_once()
+        assert pipe.lam > 1.0
+        assert any("lambda up" in a for a in report["actions"])
+
+    def test_quality_breach_lowers_lambda(self, stages, predictor):
+        from adaptive_sd_tpu.cascade import DynamicCostOptimizer, OptimizerTargets
+
+        pipe = AdaptiveCascadePipeline(stages, predictor, PipelineConfig(lam=2.0))
+        opt = DynamicCostOptimizer(
+            pipe, OptimizerTargets(target_latency_s=10.0, min_quality=0.9), interval_s=999
+        )
+        for _ in range(20):
+            opt.monitor.record(latency_s=0.001, quality=0.3, error=False)
+        opt.optimize_once()
+        assert pipe.lam < 2.0
+
+    def test_memory_pressure_raises_multipliers(self, stages, predictor):
+        from adaptive_sd_tpu.cascade import DynamicCostOptimizer, OptimizerTargets
+
+        pipe = AdaptiveCascadePipeline(stages, predictor)
+        base_top = pipe.costs[-1]
+        opt = DynamicCostOptimizer(
+            pipe, OptimizerTargets(max_memory_utilization=0.5), interval_s=999,
+            memory_utilization_fn=lambda: 0.95,
+        )
+        opt.optimize_once()
+        assert opt.cost_multipliers[-1] > 1.0
+        assert pipe.costs[-1] > base_top * 0.99
+
+    def test_load_predictor_forecast(self):
+        from adaptive_sd_tpu.cascade import LoadPredictor
+
+        lp = LoadPredictor()
+        import time as _t
+
+        now = _t.time()
+        for i in range(16):
+            lp.observe(10.0 + i, ts=now - (16 - i) * 30)
+        f = lp.forecast(300)
+        assert f > 10.0  # rising trend extrapolates upward
