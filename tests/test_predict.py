@@ -119,3 +119,45 @@ class TestEnsemble:
 
         with pytest.raises(PredictionError):
             EnsembleQualityPredictor().predict_features(np.zeros((1, FEATURE_DIM)))
+
+
+class TestGenerateFromEngines:
+    def test_real_cascade_data_generation(self, tmp_path):
+        """generate_from_engines runs every tier, labels drafts by similarity
+        to the largest tier's output, and round-trips through save/load."""
+        import jax
+        import jax.numpy as jnp
+
+        from adaptive_sd_tpu.engine import TierEngine
+        from adaptive_sd_tpu.models import TINY, init_params
+        from adaptive_sd_tpu.predict import (
+            generate_from_engines,
+            load_samples,
+            save_samples,
+        )
+
+        engines = [
+            TierEngine(TINY, init_params(TINY, jax.random.key(i), jnp.float32),
+                       page_size=16, n_pages=128, use_pallas=False)
+            for i in range(2)
+        ]
+
+        def tok(t):
+            return [(ord(c) % 255) + 1 for c in t[:24]] or [1]
+
+        def detok(ids):
+            return " ".join(str(i) for i in ids)
+
+        samples = generate_from_engines(
+            ["first prompt", "second prompt"], engines, tok, detok,
+            max_new=6, costs=[1.0, 4.0],
+        )
+        assert len(samples) == 4  # 2 prompts x 2 stages
+        last = [s for s in samples if s.stage_index == 1]
+        assert all(s.quality == 1.0 and s.label == 1 for s in last)
+        assert all(len(s.features) == 64 for s in samples)
+
+        p = str(tmp_path / "data.json")
+        save_samples(samples, p)
+        X, y = load_samples(p)
+        assert X.shape == (4, 64) and y.shape == (4,)
