@@ -84,6 +84,29 @@ def _matmul_int4_kernel(xlo_ref, xhi_ref, w_ref, s_ref, o_ref, acc_ref):
         o_ref[:] = (acc_ref[:] * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
+def _matmul_int4g_kernel(xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref, o_ref, acc_ref):
+    """Group-wise INT4: block_k == group_size, so each K step's lo/hi halves
+    each align with exactly one scale group — the per-group scale multiplies
+    the partial dot before accumulation (f32)."""
+    k = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    lo, hi = unpack_int4_halves(w_ref[:])
+    acc_ref[:] += jnp.dot(
+        xlo_ref[:], lo.astype(xlo_ref.dtype), preferred_element_type=jnp.float32
+    ) * slo_ref[:].astype(jnp.float32) + jnp.dot(
+        xhi_ref[:], hi.astype(xhi_ref.dtype), preferred_element_type=jnp.float32
+    ) * shi_ref[:].astype(jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _finish():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
 def _sublane(dtype) -> int:
     return {jnp.dtype(jnp.float32): 8, jnp.dtype(jnp.bfloat16): 16}.get(jnp.dtype(dtype), 8)
 
@@ -115,6 +138,11 @@ def quantized_matmul(
     if K != K_logical:
         raise ValueError(f"K mismatch: x has {K}, q encodes {K_logical}")
     out_dtype = out_dtype or x.dtype
+    grouped = bits == 4 and scale.ndim == 2
+    if grouped:
+        return _quantized_matmul_int4_grouped(
+            x, q, scale, interpret=interpret, out_dtype=out_dtype
+        )
 
     _CANDS = (8192, 4096, 2048, 1024, 512, 256, 128)
     bn = _pick_block(N, tuple(b for b in _CANDS if b <= max(block_n, 128)))
@@ -258,6 +286,42 @@ def quantized_matmul_w8a8(
     return out[:M]
 
 
+def _quantized_matmul_int4_grouped(x, q, scale, *, interpret, out_dtype):
+    """Pallas path for group-wise INT4 (scale [K/gs, N]); block_k is pinned to
+    the group size so scales index cleanly per step."""
+    M, K = x.shape
+    Kq, N = q.shape
+    n_groups = scale.shape[0]
+    gs = K // n_groups
+    if Kq % gs or N % 128 or gs % 128 or gs > Kq:
+        return quantized_matmul_ref(x, q, scale, bits=4, out_dtype=out_dtype)
+    bn = _pick_block(N, (1024, 512, 256, 128))
+    nkb = Kq // gs
+    sub = _sublane(x.dtype)
+    M_pad = ((M + sub - 1) // sub) * sub
+    if M_pad != M:
+        x = jnp.pad(x, ((0, M_pad - M), (0, 0)))
+    out = pl.pallas_call(
+        _matmul_int4g_kernel,
+        grid=(N // bn, nkb),
+        in_specs=[
+            pl.BlockSpec((M_pad, gs), lambda j, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M_pad, gs), lambda j, k: (0, k + nkb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gs, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j, k: (k + nkb, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M_pad, bn), lambda j, k: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M_pad, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((M_pad, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, x, q, scale, scale)
+    return out[:M]
+
+
 def quantized_matmul_ref(
     x: jax.Array, q: jax.Array, scale: jax.Array, *, bits: int = 8, out_dtype=None
 ) -> jax.Array:
@@ -265,6 +329,14 @@ def quantized_matmul_ref(
     correctness tests and as the off-TPU fallback."""
     out_dtype = out_dtype or x.dtype
     w = q if bits == 8 else unpack_int4(q)
+    if bits == 4 and scale.ndim == 2:  # group-wise: dequantise then matmul
+        K, N = w.shape
+        gs = K // scale.shape[0]
+        wf = (
+            w.astype(jnp.float32).reshape(-1, gs, N) * scale[:, None, :].astype(jnp.float32)
+        ).reshape(K, N)
+        acc = jnp.dot(x.astype(jnp.float32), wf, preferred_element_type=jnp.float32)
+        return acc.astype(out_dtype)
     acc = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
     return (acc * scale[None, :].astype(jnp.float32)).astype(out_dtype)
 

@@ -236,3 +236,46 @@ class TestW8A8:
         y_ref = linear_q(x, t, use_pallas=False)
         rel = float(jnp.linalg.norm(y - y_ref) / jnp.linalg.norm(y_ref))
         assert y.shape == (2, 5, 128) and rel < 0.03
+
+
+class TestGroupedInt4:
+    def test_error_reduction(self, rng):
+        # heterogeneous row magnitudes (the real-LLM outlier pattern that
+        # motivates group-wise scales; on iid gaussian the gain is only ~10%)
+        base = rng.normal(size=(512, 256)).astype(np.float32)
+        row_scale = np.repeat([1.0, 5.0, 25.0, 125.0], 128)[:, None].astype(np.float32)
+        w = jnp.asarray(base * row_scale)
+        per_chan = quantize_int4(w)
+        grouped = quantize_int4(w, group_size=128)
+        assert grouped.scale.shape == (4, 256)
+
+        from adaptive_sd_tpu.ops import dequantize
+
+        def small_row_err(t):
+            # relative error on the small-magnitude rows — where per-channel
+            # scales (dominated by the 125x rows) destroy the signal
+            d = np.asarray(dequantize(t, jnp.float32))[:128]
+            ref = np.asarray(w)[:128]
+            return np.linalg.norm(d - ref) / np.linalg.norm(ref)
+
+        assert small_row_err(per_chan) > 0.5     # catastrophic
+        assert small_row_err(grouped) < 0.2      # near-baseline int4 noise
+
+    def test_grouped_kernel_matches_ref(self, rng):
+        from adaptive_sd_tpu.ops.matmul_q import quantized_matmul, quantized_matmul_ref
+
+        K, N, M = 512, 256, 5
+        w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32))
+        x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+        t = quantize_int4(w, group_size=128)
+        ref = quantized_matmul_ref(x, t.q, t.scale, bits=4)
+        ker = quantized_matmul(x, t.q, t.scale, bits=4, interpret=True)
+        np.testing.assert_allclose(np.asarray(ker), np.asarray(ref), rtol=1e-4, atol=1e-4)
+        # and the whole thing is close to the float matmul
+        rel = float(jnp.linalg.norm(ker - x @ w) / jnp.linalg.norm(x @ w))
+        assert rel < 0.2  # iid-gaussian int4 noise floor; see test_error_reduction
+
+    def test_indivisible_group_raises(self, rng):
+        w = jnp.asarray(rng.normal(size=(100, 64)).astype(np.float32))
+        with pytest.raises(ValueError):
+            quantize_int4(w, group_size=128)
