@@ -23,7 +23,7 @@ import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import numpy as np
 
@@ -349,15 +349,37 @@ class AdaptiveCascadePipeline:
         finals = [self.n_stages - 1] * n_req
         decisions: list[Optional[OptimizationDecision]] = [None] * n_req
 
+        drafts: dict[int, Any] = {}
         for i, stage in enumerate(self.stages):
             if not active:
                 break
-            outs = stage.generate_text(
-                [requests[r].prompt for r in active],
-                max_new=max(requests[r].max_tokens for r in active),
-                temperature=max(requests[r].temperature for r in active),
-                top_p=1.0,
-            )
+            batch_max_new = max(requests[r].max_tokens for r in active)
+            batch_temp = max(requests[r].temperature for r in active)
+            draft_batch = [drafts.get(r) for r in active]
+            if (
+                i > 0
+                and hasattr(stage, "verify_continue_text")
+                and all(d is not None and len(d) for d in draft_batch)
+            ):
+                # Speculative escalation, batched: verify every active
+                # request's previous draft in one parallel pass.
+                outs = stage.verify_continue_text(
+                    [requests[r].prompt for r in active],
+                    draft_batch,
+                    max_new=batch_max_new,
+                    temperature=batch_temp,
+                    top_p=1.0,
+                )
+            else:
+                outs = stage.generate_text(
+                    [requests[r].prompt for r in active],
+                    max_new=batch_max_new,
+                    temperature=batch_temp,
+                    top_p=1.0,
+                )
+            for out, r in zip(outs, active):
+                if out.token_ids is not None:
+                    drafts[r] = out.token_ids
             is_last = i == self.n_stages - 1
             still_active = []
             for out, r in zip(outs, active):

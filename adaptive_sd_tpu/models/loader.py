@@ -98,7 +98,11 @@ def load_params(
 
     ``bits``: 8/4 quantizes every projection on the fly; None keeps ``dtype``.
     """
-    quant = {8: quantize_int8, 4: quantize_int4, None: None}[bits]
+    def _int4_grouped(w, _gs=128):
+        gs = _gs if w.shape[0] % _gs == 0 else None
+        return quantize_int4(w, group_size=gs)
+
+    quant = {8: quantize_int8, 4: _int4_grouped, None: None}[bits]
     layers: list[dict] = [dict() for _ in range(spec.n_layers)]
     params: Params = {"layers": layers}
     seen = set()

@@ -114,11 +114,20 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.bfloat16) -> Params:
 QUANT_KEYS = ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj")
 
 
-def quantize_model(params: Params, bits: int = 8, quantize_lm_head: bool = True) -> Params:
+def quantize_model(
+    params: Params, bits: int = 8, quantize_lm_head: bool = True, group_size: int = 128
+) -> Params:
     """Offline weight-only quantization pass: every projection matrix becomes
     a QuantizedTensor; embeddings and norms stay bf16 (embedding gather needs
-    the table, and norms are tiny)."""
-    quant = quantize_int8 if bits == 8 else quantize_int4
+    the table, and norms are tiny). INT4 uses group-wise scales when the
+    contraction dim divides ``group_size`` (falls back to per-channel)."""
+    import functools as _ft
+
+    def _int4(w):
+        gs = group_size if (group_size and w.shape[0] % group_size == 0) else None
+        return quantize_int4(w, group_size=gs)
+
+    quant = quantize_int8 if bits == 8 else _int4
     out = dict(params)
     if quantize_lm_head and "lm_head" in params:
         out["lm_head"] = quant(params["lm_head"])

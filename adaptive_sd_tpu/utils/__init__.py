@@ -11,6 +11,7 @@ from .profiler import CostModel, CostProfiler, MeasurementConfig, MeasurementRes
 from .taxonomy import AdvancedTaskClassifier, TaskClassifier
 from .timing import (
     Deadline,
+    XprofTrace,
     PerformanceProfiler,
     RateLimiter,
     Timer,

@@ -198,3 +198,32 @@ class Deadline:
 async def with_timeout(coro, budget_s: float):
     """Async timeout helper."""
     return await asyncio.wait_for(coro, timeout=budget_s)
+
+
+class XprofTrace:
+    """jax.profiler trace context — the TPU analog of the reference's
+    cProfile targets (SURVEY.md §5 tracing). Produces a TensorBoard-loadable
+    trace directory; no-op if profiling is unavailable."""
+
+    def __init__(self, log_dir: str = "/tmp/asd_xprof") -> None:
+        self.log_dir = log_dir
+        self._active = False
+
+    def __enter__(self) -> "XprofTrace":
+        try:
+            import jax
+
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        except Exception:  # noqa: BLE001 - profiling is best-effort
+            self._active = False
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self._active:
+            import jax
+
+            try:
+                jax.profiler.stop_trace()
+            except Exception:  # noqa: BLE001
+                pass

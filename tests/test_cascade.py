@@ -344,3 +344,51 @@ class TestDynamicCostOptimizer:
             lp.observe(10.0 + i, ts=now - (16 - i) * 30)
         f = lp.forecast(300)
         assert f > 10.0  # rising trend extrapolates upward
+
+
+class TestBatchSpeculativeEscalation:
+    def test_batch_uses_verify_path(self, predictor):
+        import jax
+        import jax.numpy as jnp
+
+        from adaptive_sd_tpu.cascade import EngineTextStage
+        from adaptive_sd_tpu.engine import TierEngine
+        from adaptive_sd_tpu.models import TINY, init_params
+
+        calls = {"verify": 0}
+
+        def tok(t):
+            return [(ord(c) % 255) + 1 for c in t[:24]] or [1]
+
+        def detok(ids):
+            return " ".join(map(str, ids))
+
+        stages = []
+        for i in range(2):
+            params = init_params(TINY, jax.random.key(i), dtype=jnp.float32)
+            eng = TierEngine(TINY, params, page_size=16, n_pages=512, use_pallas=False)
+            st = EngineTextStage(eng, tok, detok, name=f"t{i}", cost_per_token=[1.0, 4.0][i])
+            stages.append(st)
+
+        orig = stages[1].verify_continue_text
+
+        def counting_verify(*a, **k):
+            calls["verify"] += 1
+            return orig(*a, **k)
+
+        stages[1].verify_continue_text = counting_verify
+
+        class Pessimist:
+            def predict(self, *a):
+                from adaptive_sd_tpu.core.types import PredictionResult
+                return PredictionResult(quality_score=0.0)
+
+        pipe = AdaptiveCascadePipeline(
+            StageManager(stages), Pessimist(),
+            PipelineConfig(lam=0.01, enable_caching=False, max_new_tokens=6),
+        )
+        reqs = [RequestContext(prompt=f"bp {i}", max_tokens=6) for i in range(3)]
+        outs = pipe.batch_process(reqs)
+        assert all(o.succeeded for o in outs)
+        assert all(o.final_stage == 1 for o in outs)
+        assert calls["verify"] == 1  # ONE batched verify pass for all three
