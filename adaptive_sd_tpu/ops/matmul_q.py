@@ -120,8 +120,8 @@ def quantized_matmul(
     scale: jax.Array,
     *,
     bits: int = 8,
-    block_n: int = 512,
-    block_k: int = 512,
+    block_n: int = 1024,
+    block_k: int = 1024,
     interpret: bool = False,
     out_dtype=None,
 ) -> jax.Array:

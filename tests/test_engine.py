@@ -294,3 +294,21 @@ class TestStreaming:
         toks = [t for t, _ in eng2.stream([4, 8, 15], max_new=4)]
         # stops at the FIRST occurrence of eos (which may repeat in probe)
         assert toks == probe[: probe.index(eos) + 1]
+
+
+class TestActQuant:
+    def test_act_quant_engine_outputs_close(self, tiny_params):
+        """W8A8 decode must produce closely matching logprob trajectories to
+        weight-only int8 (token drift tolerated on a random tiny model, but
+        the first tokens should agree)."""
+        from adaptive_sd_tpu.models import TINY
+        from adaptive_sd_tpu.models.qwen import quantize_model
+
+        q = quantize_model(tiny_params, bits=8)
+        a = TierEngine(TINY, q, page_size=PAGE, n_pages=64, use_pallas=False)
+        b = TierEngine(TINY, q, page_size=PAGE, n_pages=64, use_pallas=False,
+                       act_quant=True)
+        # off-TPU act_quant routes through the XLA int8 fallback — same math
+        oa = a.generate([[3, 5, 7, 9]], max_new=4)[0]
+        ob = b.generate([[3, 5, 7, 9]], max_new=4)[0]
+        assert oa.token_ids[0] == ob.token_ids[0]
