@@ -30,6 +30,7 @@ case "${1:-}" in
   serve-real)  shift; python scripts/serve.py "$@" ;;
   train)       shift; python scripts/train_predictor.py "$@" ;;
   theory)      shift; python scripts/theory_demo.py "$@" ;;
+  demo)        shift; python scripts/cascade_demo.py "$@" ;;
   baselines)   shift; python scripts/run_baselines.py "$@" ;;
   profile)     shift; python scripts/profile_costs.py --mock "$@" ;;
   profile-tpu) shift; python scripts/profile_costs.py --synthetic "$@" ;;
