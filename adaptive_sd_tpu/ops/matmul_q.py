@@ -42,6 +42,34 @@ def _pick_block(dim: int, candidates: tuple[int, ...]) -> int:
     return dim
 
 
+_VMEM_BUDGET = 12 << 20  # leave headroom under the 16 MB scoped limit
+
+
+def _fit_blocks(
+    M_pad: int, bn: int, bk: int, x_itemsize: int, two_x_slices: bool,
+    min_bk: int = 128,
+) -> tuple[int, int]:
+    """Shrink (bn, bk) until the kernel's VMEM footprint fits. The M axis is
+    not blocked (decode keeps M small; prefill flattens B*S rows and lands
+    here with M in the thousands), so large M must trade against bk/bn."""
+
+    def est(bn_, bk_):
+        x = M_pad * bk_ * x_itemsize * 2 * (2 if two_x_slices else 1)
+        w = bk_ * bn_ * 2            # int8 weights, double-buffered
+        acc = M_pad * bn_ * 4
+        out = M_pad * bn_ * x_itemsize * 2
+        return x + w + acc + out + bn_ * 8
+
+    while est(bn, bk) > _VMEM_BUDGET and (bn > 128 or bk > min_bk):
+        if bk >= bn and bk > min_bk:
+            bk //= 2
+        elif bn > 128:
+            bn //= 2
+        else:
+            break
+    return bn, bk
+
+
 def _matmul_int8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
     k = pl.program_id(1)
     nk = pl.num_programs(1)
@@ -156,6 +184,10 @@ def quantized_matmul(
     if M_pad != M:
         x = jnp.pad(x, ((0, M_pad - M), (0, 0)))
 
+    bn, bk = _fit_blocks(M_pad, bn, bk, x.dtype.itemsize, two_x_slices=bits == 4)
+    if N % bn or Kq % bk:
+        return quantized_matmul_ref(x[:M], q, scale, bits=bits, out_dtype=out_dtype)
+
     nkb = Kq // bk  # K-axis grid size (packed-row blocks for int4)
     grid = (N // bn, nkb)
     common_specs = [
@@ -266,6 +298,15 @@ def quantized_matmul_w8a8(
         xq = jnp.pad(xq, ((0, M_pad - M), (0, 0)))
         xs = jnp.pad(xs, ((0, M_pad - M), (0, 0)), constant_values=1.0)
 
+    bn, bk = _fit_blocks(M_pad, bn, bk, 1, two_x_slices=False)
+    if N % bn or K % bk:
+        acc = jax.lax.dot_general(
+            xq[:M], q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        return (acc.astype(jnp.float32) * xs[:M] * scale[None, :].astype(jnp.float32)).astype(
+            out_dtype
+        )
+
     out = pl.pallas_call(
         _matmul_w8a8_kernel,
         grid=(N // bn, K // bk),
@@ -301,6 +342,9 @@ def _quantized_matmul_int4_grouped(x, q, scale, *, interpret, out_dtype):
     M_pad = ((M + sub - 1) // sub) * sub
     if M_pad != M:
         x = jnp.pad(x, ((0, M_pad - M), (0, 0)))
+    bn, _ = _fit_blocks(M_pad, bn, gs, x.dtype.itemsize, two_x_slices=True, min_bk=gs)
+    if N % bn:
+        return quantized_matmul_ref(x[:M], q, scale, bits=4, out_dtype=out_dtype)
     out = pl.pallas_call(
         _matmul_int4g_kernel,
         grid=(N // bn, nkb),
