@@ -337,7 +337,7 @@ class TierEngine:
         B = len(prompts)
         Bb = _bucket_batch(B)
         lens = [len(p) for p in prompts]
-        S = _bucket_len(max(lens), self.page_size)
+        S = _bucket_len(max(lens), min(64, self.page_size))
         max_pages = (S + max_new + self.page_size - 1) // self.page_size + 1
 
         tokens = np.full((Bb, S), PAD_ID, np.int32)
@@ -398,7 +398,7 @@ class TierEngine:
         contract, src/core/interfaces.py:81). Uses the stepwise graphs —
         one dispatch per token is inherent to streaming. Yields
         (token_id, logprob)."""
-        S = _bucket_len(len(prompt), self.page_size)
+        S = _bucket_len(len(prompt), min(64, self.page_size))
         max_pages = (S + max_new + self.page_size - 1) // self.page_size + 1
         rid = f"str{id(self)}_{time.monotonic_ns()}"
         pages = self.allocator.alloc(rid, max_pages)
@@ -446,7 +446,7 @@ class TierEngine:
         B = len(prompts)
         Bb = _bucket_batch(B)
         lens = [len(p) for p in prompts]
-        S = _bucket_len(max(lens), self.page_size)
+        S = _bucket_len(max(lens), min(64, self.page_size))
         max_pages = (S + max_new + self.page_size - 1) // self.page_size + 1
 
         tokens = np.full((Bb, S), PAD_ID, np.int32)
@@ -521,7 +521,9 @@ class TierEngine:
         p_lens = [len(p) for p in prompts]
         d_lens = [min(len(d), max_new) for d in drafts]
         max_draft = _bucket_len(max(d_lens), 8)
-        S = _bucket_len(max(pl + dl for pl, dl in zip(p_lens, d_lens)), self.page_size)
+        S = _bucket_len(
+            max(pl + dl for pl, dl in zip(p_lens, d_lens)), min(64, self.page_size)
+        )
         max_pages = (S + max_new + self.page_size - 1) // self.page_size + 1
 
         tokens = np.full((Bb, S), PAD_ID, np.int32)
