@@ -154,6 +154,7 @@ def main() -> None:
         predictor,
         PipelineConfig(
             lam=serving.optimization.lambda_value,
+            strategy=serving.optimization.strategy,
             risk_alpha=serving.optimization.risk_alpha,
             risk_beta=serving.optimization.risk_beta,
             enable_caching=serving.cache.enable,
