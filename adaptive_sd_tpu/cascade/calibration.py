@@ -44,5 +44,9 @@ def calibrate_costs(
         per_stage.append(max(best, 1e-9))
     base = per_stage[0]
     ratios = [t / base for t in per_stage]
-    pipeline.costs = list(np.cumsum(ratios))
+    cumulative = list(np.cumsum(ratios))
+    if hasattr(pipeline, "set_costs"):
+        pipeline.set_costs(cumulative)
+    else:
+        pipeline.costs = cumulative
     return ratios

@@ -121,10 +121,23 @@ class DynamicCostOptimizer:
         self._memory_fn = memory_utilization_fn or (lambda: 0.0)
         self.cost_multipliers = np.ones(pipeline.n_stages)
         self._base_costs = np.asarray(pipeline.costs, float)
+        # live metrics feed: every completed request lands in the monitor
+        if hasattr(pipeline, "add_observer"):
+            pipeline.add_observer(self._observe)
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.history: list[dict] = []
+
+    def _observe(self, result) -> None:
+        quality = 1.0
+        if getattr(result, "decision", None) and result.decision.acceptance_probs:
+            quality = float(result.decision.acceptance_probs[-1])
+        self.monitor.record(
+            latency_s=float(result.total_latency_s),
+            quality=quality,
+            error=bool(result.error),
+        )
 
     # ---------------------------------------------------------------- control
     def start(self) -> None:
@@ -195,7 +208,11 @@ class DynamicCostOptimizer:
             if abs(new_lam - lam) > 1e-9:
                 self.pipeline.update_lambda(new_lam)
             self.cost_multipliers = mults
-            self.pipeline.costs = list(self._base_costs * mults)
+            new_costs = list(self._base_costs * mults)
+            if hasattr(self.pipeline, "set_costs"):
+                self.pipeline.set_costs(new_costs)
+            else:
+                self.pipeline.costs = new_costs
 
         report = {
             "ts": time.time(),

@@ -88,6 +88,7 @@ class AdaptiveCascadePipeline:
         self._ucb = AdaptiveStopping(n_stages=n, lam=self.config.lam)
         self._threshold_cache: dict[float, np.ndarray] = {}
         self._metrics = global_metrics()
+        self._observers: list = []   # callables(ProcessingResult)
         self._lock = threading.RLock()
         self._executor = ThreadPoolExecutor(max_workers=self.config.max_concurrent)
         self._stats = {
@@ -108,6 +109,19 @@ class AdaptiveCascadePipeline:
     @property
     def n_stages(self) -> int:
         return len(self.stages)
+
+    def add_observer(self, fn) -> None:
+        """Register a callable(result) invoked after every request — the
+        dynamic cost optimizer's live-metrics feed."""
+        self._observers.append(fn)
+
+    def set_costs(self, costs: Sequence[float]) -> None:
+        """Install new cumulative costs and invalidate derived caches."""
+        if len(costs) != self.n_stages:
+            raise ValueError("costs length must match stage count")
+        with self._lock:
+            self.costs = list(costs)
+            self._threshold_cache.clear()
 
     def _stage_prior(self, i: int) -> float:
         if self._obs_n[i] > 0:
@@ -186,9 +200,13 @@ class AdaptiveCascadePipeline:
                     self.cache.get(request.request_id, i) if self.config.enable_caching else None
                 )
                 was_cached = cached is not None
+                if cached is not None and (
+                    not isinstance(cached, tuple) or cached[0] != request.prompt
+                ):
+                    cached = None  # reused request_id with a different prompt
                 try:
                     if cached is not None:
-                        output = cached
+                        output = cached[1]
                         with self._lock:
                             self._stats["cache_hits"] += 1
                         cached_flag = True
@@ -242,10 +260,10 @@ class AdaptiveCascadePipeline:
                     continue
                 prev_output = output
                 if not was_cached and self.config.enable_caching:
-                    size = len(output.text.encode()) + (
+                    size = len(output.text.encode()) + len(request.prompt.encode()) + (
                         output.logprobs.nbytes if output.logprobs is not None else 0
                     )
-                    self.cache.put(request.request_id, i, output, size)
+                    self.cache.put(request.request_id, i, (request.prompt, output), size)
 
                 is_last = i == self.n_stages - 1
                 t_dec = time.perf_counter()
@@ -313,6 +331,9 @@ class AdaptiveCascadePipeline:
                 self.cache.truncate_at_stage(request.request_id, final_idx)
         except Exception as exc:  # noqa: BLE001 - uniform error capture
             error = f"{type(exc).__name__}: {exc}"
+            # report the last stage that actually produced output, not the
+            # default top-of-cascade index
+            final_idx = stage_results[-1].stage_index if stage_results else -1
 
         latency = time.perf_counter() - t0
         final = stage_results[-1] if stage_results else None
@@ -322,7 +343,7 @@ class AdaptiveCascadePipeline:
             final_stage=final_idx if final else -1,
             final_stage_name=final.stage_name if final else "",
             total_latency_s=latency,
-            total_cost=self.costs[final_idx] if final else 0.0,
+            total_cost=self.costs[final_idx] if (final and final_idx >= 0) else 0.0,
             stage_results=stage_results,
             decision=decision,
             cached=cached_flag,
@@ -353,33 +374,44 @@ class AdaptiveCascadePipeline:
         for i, stage in enumerate(self.stages):
             if not active:
                 break
-            batch_max_new = max(requests[r].max_tokens for r in active)
-            batch_temp = max(requests[r].temperature for r in active)
-            draft_batch = [drafts.get(r) for r in active]
-            if (
-                i > 0
-                and hasattr(stage, "verify_continue_text")
-                and all(d is not None and len(d) for d in draft_batch)
-            ):
-                # Speculative escalation, batched: verify every active
-                # request's previous draft in one parallel pass.
-                outs = stage.verify_continue_text(
-                    [requests[r].prompt for r in active],
-                    draft_batch,
-                    max_new=batch_max_new,
-                    temperature=batch_temp,
-                    top_p=1.0,
-                )
-            else:
-                outs = stage.generate_text(
-                    [requests[r].prompt for r in active],
-                    max_new=batch_max_new,
-                    temperature=batch_temp,
-                    top_p=1.0,
-                )
-            for out, r in zip(outs, active):
-                if out.token_ids is not None:
-                    drafts[r] = out.token_ids
+            # Group by sampling params: one engine call per identical
+            # (max_tokens, temperature, top_p) so no request's settings are
+            # overridden by a batch-mate's.
+            groups: dict[tuple, list[int]] = {}
+            for r in active:
+                req = requests[r]
+                groups.setdefault(
+                    (req.max_tokens, req.temperature, req.top_p), []
+                ).append(r)
+            outs_by_r: dict[int, Any] = {}
+            for (g_max, g_temp, g_topp), members in groups.items():
+                draft_batch = [drafts.get(r) for r in members]
+                if (
+                    i > 0
+                    and hasattr(stage, "verify_continue_text")
+                    and all(d is not None and len(d) for d in draft_batch)
+                ):
+                    # Speculative escalation, batched: verify the drafts of
+                    # every group member in one parallel pass.
+                    outs = stage.verify_continue_text(
+                        [requests[r].prompt for r in members],
+                        draft_batch,
+                        max_new=g_max,
+                        temperature=g_temp,
+                        top_p=g_topp,
+                    )
+                else:
+                    outs = stage.generate_text(
+                        [requests[r].prompt for r in members],
+                        max_new=g_max,
+                        temperature=g_temp,
+                        top_p=g_topp,
+                    )
+                for out, r in zip(outs, members):
+                    outs_by_r[r] = out
+                    if out.token_ids is not None:
+                        drafts[r] = out.token_ids
+            outs = [outs_by_r[r] for r in active]
             is_last = i == self.n_stages - 1
             still_active = []
             for out, r in zip(outs, active):
@@ -459,8 +491,9 @@ class AdaptiveCascadePipeline:
         from ..utils.taxonomy import TaskClassifier
 
         lam = request.lambda_override if request.lambda_override is not None else self._lam
-        chars = TaskClassifier().classify(request.prompt)
-        stage_idx = TaskClassifier().recommend_stage(chars, self.n_stages)
+        classifier = TaskClassifier()
+        chars = classifier.classify(request.prompt)
+        stage_idx = classifier.recommend_stage(chars, self.n_stages)
         if lam >= 2.0:  # cost-pressured: bias down a tier
             stage_idx = max(stage_idx - 1, 0)
         stage = self.stages[stage_idx]
@@ -498,6 +531,11 @@ class AdaptiveCascadePipeline:
 
     def _update_stats(self, result: ProcessingResult) -> None:
         a = self.config.ema_alpha
+        for obs in self._observers:
+            try:
+                obs(result)
+            except Exception:  # noqa: BLE001 - observers must not break serving
+                pass
         self._metrics.inc("requests_total", help="processed requests")
         if result.error:
             self._metrics.inc("errors_total", help="failed requests")

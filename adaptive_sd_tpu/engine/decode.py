@@ -64,7 +64,10 @@ def _make_generate_fn(spec: ModelSpec, use_pallas: bool, act_quant: bool = False
     """Fused prefill + while-loop decode. Static over (max_new, temperature,
     top_p, eos_id); traced over token/table/cache shapes."""
 
-    def fn(params, tokens, seq_lens, block_tables, cache, key, *, max_new, temperature, top_p, eos_id):
+    def fn(params, tokens, seq_lens, block_tables, cache, key, budget, *, max_new, temperature, top_p, eos_id):
+        # ``max_new`` is a bucketed static bound (compile-cache key); ``budget``
+        # is the request's actual token budget, traced — arbitrary client
+        # max_tokens values reuse one graph per bucket instead of recompiling.
         B = tokens.shape[0]
         logits, cache = prefill(
             params, spec, tokens, seq_lens, cache, block_tables,
@@ -84,11 +87,13 @@ def _make_generate_fn(spec: ModelSpec, use_pallas: bool, act_quant: bool = False
 
         def body(state):
             i, tok, active, cache, out_toks, out_lps, gen_len, key = state
-            out_toks = out_toks.at[:, i].set(jnp.where(active, tok.token, PAD_ID))
-            out_lps = out_lps.at[:, i].set(jnp.where(active, tok.logprob, 0.0))
-            gen_len = gen_len + active.astype(jnp.int32)
+            writing = jnp.logical_and(active, i < budget)
+            out_toks = out_toks.at[:, i].set(jnp.where(writing, tok.token, PAD_ID))
+            out_lps = out_lps.at[:, i].set(jnp.where(writing, tok.logprob, 0.0))
+            gen_len = gen_len + writing.astype(jnp.int32)
             if eos_id is not None:
                 active = jnp.logical_and(active, tok.token != eos_id)
+            active = jnp.logical_and(active, i + 1 < budget)
             positions = seq_lens + i  # position of the token being fed
             logits, cache = decode_step(
                 params, spec, tok.token, positions, cache, block_tables,
@@ -123,8 +128,9 @@ def _make_verify_continue_fn(spec: ModelSpec, use_pallas: bool, act_quant: bool 
         block_tables,
         cache,
         key,
+        budget,        # traced actual token budget (<= max_new bucket)
         *,
-        max_new,       # output budget (tokens beyond the prompt)
+        max_new,       # static bucketed output-window width
         max_draft,     # static draft-window width
         temperature,
         top_p,
@@ -136,29 +142,35 @@ def _make_verify_continue_fn(spec: ModelSpec, use_pallas: bool, act_quant: bool 
             use_pallas=use_pallas, act_quant=act_quant, return_hidden=True,
         )
         # Hidden state at position prompt_lens-1+i predicts draft token i.
-        pos = prompt_lens[:, None] - 1 + jnp.arange(max_draft)[None, :]
+        # Window of max_draft + 1 positions: index i predicts draft token i;
+        # the extra slot (i == draft_len) is the model's own NEXT token when
+        # the whole draft is accepted — without it the bonus token would
+        # wrongly re-emit the last draft token on full acceptance.
+        pos = prompt_lens[:, None] - 1 + jnp.arange(max_draft + 1)[None, :]
         pos_c = jnp.clip(pos, 0, S - 1)
-        h_sel = jnp.take_along_axis(h, pos_c[:, :, None], axis=1)      # [B, Dw, H]
-        logits_d = logits_at(params, spec, h_sel, use_pallas=use_pallas, act_quant=act_quant)  # [B, Dw, V]
-        logp_d = jax.nn.log_softmax(logits_d, axis=-1)
-        pred = jnp.argmax(logits_d, axis=-1).astype(jnp.int32)          # [B, Dw]
+        h_sel = jnp.take_along_axis(h, pos_c[:, :, None], axis=1)      # [B, Dw+1, H]
+        logits_d = logits_at(params, spec, h_sel, use_pallas=use_pallas, act_quant=act_quant)
+        logp_d = jax.nn.log_softmax(logits_d, axis=-1)                  # [B, Dw+1, V]
+        pred = jnp.argmax(logits_d, axis=-1).astype(jnp.int32)          # [B, Dw+1]
 
         draft_idx = jnp.clip(prompt_lens[:, None] + jnp.arange(max_draft)[None, :], 0, S - 1)
         draft = jnp.take_along_axis(tokens, draft_idx, axis=1)          # [B, Dw]
         draft_len = total_lens - prompt_lens
         valid = jnp.arange(max_draft)[None, :] < draft_len[:, None]
-        match = jnp.logical_and(pred == draft, valid)
+        match = jnp.logical_and(pred[:, :max_draft] == draft, valid)
         n_acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)  # [B]
 
         # Verifier's token at the first mismatch (or right after the draft).
-        bonus_pos = jnp.clip(n_acc, 0, max_draft - 1)
+        bonus_pos = n_acc  # in [0, max_draft]; the +1 window makes it valid
         bonus_tok = jnp.take_along_axis(pred, bonus_pos[:, None], axis=1)[:, 0]
         bonus_lp = jnp.take_along_axis(
             jnp.take_along_axis(logp_d, bonus_pos[:, None, None], axis=1)[:, 0],
             bonus_tok[:, None],
             axis=1,
         )[:, 0]
-        draft_lp = jnp.take_along_axis(logp_d, draft[:, :, None], axis=2)[:, :, 0]
+        draft_lp = jnp.take_along_axis(
+            logp_d[:, :max_draft], draft[:, :, None], axis=2
+        )[:, :, 0]
 
         # Output buffer: accepted draft prefix, then the bonus token, then
         # continued decoding. Write index is per-request.
@@ -182,11 +194,11 @@ def _make_verify_continue_fn(spec: ModelSpec, use_pallas: bool, act_quant: bool 
 
         def cond(state):
             _, active, wr, *_ = state
-            return jnp.logical_and(jnp.any(active), jnp.any(wr < max_new))
+            return jnp.logical_and(jnp.any(active), jnp.any(wr < budget))
 
         def body(state):
             tok, active, wr, cache, out_toks, out_lps, gen_len, key = state
-            can_write = jnp.logical_and(active, wr < max_new)
+            can_write = jnp.logical_and(active, wr < budget)
             out_toks = out_toks.at[jnp.arange(B), jnp.clip(wr, 0, max_new - 1)].set(
                 jnp.where(can_write, tok.token, out_toks[jnp.arange(B), jnp.clip(wr, 0, max_new - 1)])
             )
@@ -196,7 +208,7 @@ def _make_verify_continue_fn(spec: ModelSpec, use_pallas: bool, act_quant: bool 
             gen_len = gen_len + can_write.astype(jnp.int32)
             if eos_id is not None:
                 active = jnp.logical_and(active, tok.token != eos_id)
-            active = jnp.logical_and(active, wr + 1 < max_new)
+            active = jnp.logical_and(active, wr + 1 < budget)
             positions = prompt_lens + wr  # position of the token being fed
             logits, cache = decode_step(
                 params, spec, tok.token, positions, cache, block_tables,
@@ -275,11 +287,11 @@ class TierEngine:
         )
 
         def _generate_policy(params, tokens, seq_lens, block_tables, cache, key, policy,
-                             *, max_new, temperature, top_p, eos_id, stage_index):
+                             budget, *, max_new, temperature, top_p, eos_id, stage_index):
             from ..predict.inline import inline_decision
 
             out_toks, out_lps, gen_len, cache = self._generate_raw(
-                params, tokens, seq_lens, block_tables, cache, key,
+                params, tokens, seq_lens, block_tables, cache, key, budget,
                 max_new=max_new, temperature=temperature, top_p=top_p, eos_id=eos_id,
             )
             escalate, p_hat = inline_decision(policy, out_lps, gen_len, stage_index)
@@ -338,7 +350,8 @@ class TierEngine:
         Bb = _bucket_batch(B)
         lens = [len(p) for p in prompts]
         S = _bucket_len(max(lens), min(64, self.page_size))
-        max_pages = (S + max_new + self.page_size - 1) // self.page_size + 1
+        max_new_b = _bucket_len(max_new, 32)  # static graph bound; budget traced
+        max_pages = (S + max_new_b + self.page_size - 1) // self.page_size + 1
 
         tokens = np.full((Bb, S), PAD_ID, np.int32)
         for i, p in enumerate(prompts):
@@ -358,7 +371,8 @@ class TierEngine:
                 jnp.asarray(tables),
                 self.cache,
                 jax.random.key(seed),
-                max_new=max_new,
+                jnp.int32(max_new),
+                max_new=max_new_b,
                 temperature=temperature,
                 top_p=top_p,
                 eos_id=self.eos_id,
@@ -447,7 +461,8 @@ class TierEngine:
         Bb = _bucket_batch(B)
         lens = [len(p) for p in prompts]
         S = _bucket_len(max(lens), min(64, self.page_size))
-        max_pages = (S + max_new + self.page_size - 1) // self.page_size + 1
+        max_new_b = _bucket_len(max_new, 32)
+        max_pages = (S + max_new_b + self.page_size - 1) // self.page_size + 1
 
         tokens = np.full((Bb, S), PAD_ID, np.int32)
         for i, p in enumerate(prompts):
@@ -469,7 +484,8 @@ class TierEngine:
                     self.cache,
                     jax.random.key(seed),
                     policy,
-                    max_new=max_new,
+                    jnp.int32(max_new),
+                    max_new=max_new_b,
                     temperature=temperature,
                     top_p=top_p,
                     eos_id=self.eos_id,
@@ -524,7 +540,8 @@ class TierEngine:
         S = _bucket_len(
             max(pl + dl for pl, dl in zip(p_lens, d_lens)), min(64, self.page_size)
         )
-        max_pages = (S + max_new + self.page_size - 1) // self.page_size + 1
+        max_new_b = _bucket_len(max_new, 32)
+        max_pages = (S + max_new_b + self.page_size - 1) // self.page_size + 1
 
         tokens = np.full((Bb, S), PAD_ID, np.int32)
         for i, (p, d) in enumerate(zip(prompts, drafts)):
@@ -549,7 +566,8 @@ class TierEngine:
                 jnp.asarray(tables),
                 self.cache,
                 jax.random.key(seed),
-                max_new=max_new,
+                jnp.int32(max_new),
+                max_new=max_new_b,
                 max_draft=max_draft,
                 temperature=temperature,
                 top_p=top_p,

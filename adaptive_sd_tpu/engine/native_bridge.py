@@ -74,6 +74,7 @@ class NativePageAllocator:
         self._h = lib.asd_alloc_create(n_pages)
         if not self._h:
             raise RuntimeError("native allocator creation failed")
+        self._known: set[str] = set()
 
     def __del__(self) -> None:  # pragma: no cover - gc timing
         h = getattr(self, "_h", None)
@@ -88,6 +89,7 @@ class NativePageAllocator:
             raise ResourceError(
                 f"out of KV pages: need {n} (native)", details={"request_id": request_id}
             )
+        self._known.add(request_id)
         return list(buf[:got])
 
     def ensure(self, request_id: str, n_total: int) -> list[int]:
@@ -105,15 +107,19 @@ class NativePageAllocator:
             got = self._lib.asd_alloc_ensure(self._h, request_id.encode(), n_total, buf, cap)
             if got < 0:
                 raise ResourceError("native ensure failed", details={"code": int(got)})
+        self._known.add(request_id)
         return list(buf[:got])
 
     def pages_of(self, request_id: str) -> list[int]:
+        if request_id not in self._known:
+            return []  # avoid creating phantom entries in the C++ map
         return self.ensure(request_id, 0)
 
     def free_from(self, request_id: str, keep: int) -> int:
         return int(self._lib.asd_alloc_free_from(self._h, request_id.encode(), keep))
 
     def free_request(self, request_id: str) -> int:
+        self._known.discard(request_id)
         return int(self._lib.asd_alloc_free_request(self._h, request_id.encode()))
 
     def stats(self) -> AllocatorStats:

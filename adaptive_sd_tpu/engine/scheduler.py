@@ -70,7 +70,11 @@ class ContinuousBatchingScheduler:
         self.max_pages = (max_context + self.page - 1) // self.page
         self._lanes: list[Optional[SchedRequest]] = [None] * max_batch
         self._queue: "queue.Queue[SchedRequest]" = queue.Queue()
-        self._tables = np.zeros((max_batch, self.max_pages), np.int32)
+        # Idle/retired lanes point at an out-of-range page so their decode
+        # writes are dropped by the scatter instead of corrupting page 0 (or
+        # whatever page a stale table row referenced).
+        self._oob_page = engine.allocator.n_pages
+        self._tables = np.full((max_batch, self.max_pages), self._oob_page, np.int32)
         self._admission_wait = admission_wait_s
         self._lock = threading.Lock()
         self._stop = threading.Event()
@@ -123,18 +127,24 @@ class ContinuousBatchingScheduler:
         n = len(batch)
         tokens = np.full((n, S), PAD_ID, np.int32)
         seq_lens = np.zeros((n,), np.int32)
-        tables = np.zeros((n, self.max_pages), np.int32)
+        tables = np.full((n, self.max_pages), self._oob_page, np.int32)
         try:
             for row, (lane, req) in enumerate(batch):
-                pages = self.engine.allocator.ensure(
-                    req.request_id, (len(req.prompt) + self.page) // self.page + 1
+                needed = min(
+                    (len(req.prompt) + self.page) // self.page + 1, self.max_pages
                 )
+                pages = self.engine.allocator.ensure(req.request_id, needed)
+                self._tables[lane, :] = self._oob_page
                 self._tables[lane, : len(pages)] = pages
                 tokens[row, : len(req.prompt)] = req.prompt
                 seq_lens[row] = len(req.prompt)
                 tables[row] = self._tables[lane]
         except ResourceError as exc:
             for lane, req in batch:
+                # free any pages already granted to this batch (sibling
+                # allocations that succeeded would otherwise leak forever)
+                self.engine.allocator.free_request(req.request_id)
+                self._tables[lane, :] = self._oob_page
                 req.error = str(exc)
                 req.done = True
                 req._event.set()
@@ -143,7 +153,10 @@ class ContinuousBatchingScheduler:
         logits = self.engine.prefill_batch(
             jnp.asarray(tokens), jnp.asarray(seq_lens), jnp.asarray(tables)
         )
-        keys = jax.random.split(jax.random.key(self.steps), n)
+        # fold_in(1) keeps admission keys disjoint from the decode-step keys
+        keys = jax.random.split(
+            jax.random.fold_in(jax.random.key(self.steps), 1), n
+        )
         for row, (lane, req) in enumerate(batch):
             temp = req.temperature
             res = sample(logits[row : row + 1], keys[row], temperature=temp)
@@ -159,6 +172,7 @@ class ContinuousBatchingScheduler:
         req.done = True
         req.finished_at = time.monotonic()
         self.engine.allocator.free_request(req.request_id)
+        self._tables[lane, :] = self._oob_page  # stale rows must not alias
         self._lanes[lane] = None
         self.completed += 1
         req._event.set()
@@ -187,7 +201,7 @@ class ContinuousBatchingScheduler:
         positions = np.zeros((self.max_batch,), np.int32)
         for lane, req in still:
             # grow pages one ahead of the write position
-            needed = (req.position + 1) // self.page + 1
+            needed = min((req.position + 1) // self.page + 1, self.max_pages)
             pages = self.engine.allocator.ensure(req.request_id, needed)
             self._tables[lane, : len(pages)] = pages
             tokens[lane] = req.next_token

@@ -114,6 +114,10 @@ def paged_attention(
     B, n_kv, G, D = q.shape
     _, n_pages_total, page_size, _ = k_pages.shape
     max_pages = block_tables.shape[1]
+    # Schedulers park idle lanes on an out-of-range sentinel page (writes are
+    # dropped); reads must stay in range for the kernel's DMA, and the
+    # seq_len mask discards whatever the clamped page contains.
+    block_tables = jnp.clip(block_tables, 0, n_pages_total - 1)
 
     def table(b, h, j, bt_ref, sl_ref):
         # Clamp to a valid page for out-of-range steps; the kernel masks them.
@@ -173,8 +177,9 @@ def paged_attention_ref(
 ) -> jax.Array:
     """Pure-jnp reference (gather + masked softmax), identical math."""
     B, n_kv, G, D = q.shape
-    _, _, page_size, _ = k_pages.shape
+    _, n_pages_total, page_size, _ = k_pages.shape
     max_pages = block_tables.shape[1]
+    block_tables = jnp.clip(block_tables, 0, n_pages_total - 1)
     L = max_pages * page_size
 
     # Gather pages per sequence: [B, n_kv, L, D]

@@ -58,6 +58,10 @@ class OptimalStoppingTheory:
         """
         q = np.asarray(self.params.quality_bounds, dtype=np.float64)
         C = np.asarray(self.params.cost_ratios, dtype=np.float64)
+        # Normalise costs to max-cumulative 1 so quality loss (in [0,1]) and
+        # lambda*cost live on a comparable scale — otherwise any lambda >= 1
+        # with raw cost units drives every threshold to 0 (always-stop).
+        C = C / max(C[-1], 1e-9)
         n = q.shape[0]
         theta = np.zeros(n)
         V = np.empty(n)

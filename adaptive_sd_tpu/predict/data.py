@@ -128,7 +128,13 @@ def generate_synthetic(
             # exploits in production (model's own logprobs).
             base_lp = -0.3 - 2.2 * (1.0 - quality)
             lps = rng.normal(base_lp, 0.35, size=n_tok).clip(-12, 0)
-            draft = "answer " * (n_tok // 2)
+            # vary draft TEXT so text-stat features have real variance —
+            # constant columns would train a degenerate scaler
+            words = ["answer", "the", "result", "is", "therefore", "value",
+                     "step", "compute", "Final", "12", "note\n"]
+            draft = " ".join(
+                words[int(w)] for w in rng.integers(0, len(words), n_tok // 2)
+            )
             X.append(
                 extract_features(prompt, draft, lps, s, n_stages=n_stages, cost=float(2**s))
             )

@@ -111,7 +111,7 @@ def inline_decision(
 ) -> tuple[jax.Array, jax.Array]:
     """On-device stopping decision. Returns (escalate [B] bool, p_hat [B])."""
     feats = inline_features_jnp(logprobs, lengths)
-    x = (feats - policy.mean) / policy.std
+    x = jnp.clip((feats - policy.mean) / policy.std, -10.0, 10.0)
     p_hat = mlp_forward(policy.mlp, x)  # [B]
     n = policy.priors.shape[0]
     idx = jnp.arange(n)

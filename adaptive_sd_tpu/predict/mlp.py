@@ -84,7 +84,9 @@ class MLPQualityPredictor:
 
     # -- inference -----------------------------------------------------------
     def predict_features(self, feats: np.ndarray) -> np.ndarray:
-        x = (np.atleast_2d(feats) - self.mean) / self.std
+        # clip: features constant in training (std floored) can be wildly
+        # out-of-distribution at serve time; +-10 sigma keeps the MLP sane
+        x = np.clip((np.atleast_2d(feats) - self.mean) / self.std, -10.0, 10.0)
         p = np.asarray(self._forward(self.params, jnp.asarray(x)))
         a, b = self.calibration
         if (a, b) != (1.0, 0.0):
@@ -141,7 +143,9 @@ class MLPQualityPredictor:
         X = np.asarray(X, np.float32)
         y = np.asarray(y, np.float32)
         self.mean = X.mean(axis=0)
-        self.std = X.std(axis=0) + 1e-6
+        # floor the std: near-constant training features must not amplify
+        # serve-time variation by 1/std ~ 1e6 (saturates the net)
+        self.std = np.maximum(X.std(axis=0), 1e-3)
         Xn = (X - self.mean) / self.std
 
         report = TrainReport()

@@ -27,6 +27,14 @@ class GenerationRequest(BaseModel):
             raise ValueError("prompt must not be blank")
         return v
 
+    @field_validator("temperature", "top_p")
+    @classmethod
+    def snap_sampling_params(cls, v: float) -> float:
+        # temperature/top_p are static jit arguments in the engine graphs;
+        # snapping to a 0.05 grid bounds the compile cache (arbitrary client
+        # floats would otherwise compile a fresh graph each).
+        return round(round(v / 0.05) * 0.05, 2)
+
 
 class GenerationResponse(BaseModel):
     request_id: str

@@ -392,3 +392,86 @@ class TestBatchSpeculativeEscalation:
         assert all(o.succeeded for o in outs)
         assert all(o.final_stage == 1 for o in outs)
         assert calls["verify"] == 1  # ONE batched verify pass for all three
+
+
+class TestReviewRegressions:
+    def test_threshold_strategy_escalates_on_bad_quality(self, stages):
+        """Review finding: raw-cost thresholds clipped to 0 (always stop at
+        stage 0). Normalised thresholds must escalate a 0-quality draft."""
+
+        class Pessimist:
+            def predict(self, *a):
+                from adaptive_sd_tpu.core.types import PredictionResult
+                return PredictionResult(quality_score=0.01)
+
+        pipe = AdaptiveCascadePipeline(
+            stages, Pessimist(), PipelineConfig(strategy="threshold", lam=1.0,
+                                                enable_caching=False)
+        )
+        res = pipe.process_request(RequestContext(prompt="hopeless draft"))
+        assert res.final_stage > 0
+
+    def test_optimizer_fed_by_pipeline(self, stages, predictor):
+        from adaptive_sd_tpu.cascade import DynamicCostOptimizer
+
+        pipe = AdaptiveCascadePipeline(stages, predictor, PipelineConfig(enable_caching=False))
+        opt = DynamicCostOptimizer(pipe, interval_s=999)
+        for i in range(5):
+            pipe.process_request(RequestContext(prompt=f"feed {i}"))
+        assert opt.monitor.snapshot()["count"] == 5
+
+    def test_cache_rejects_reused_id_different_prompt(self, stages, predictor):
+        pipe = AdaptiveCascadePipeline(stages, predictor)
+        r1 = pipe.process_request(RequestContext(prompt="prompt A", request_id="idem"))
+        r2 = pipe.process_request(RequestContext(prompt="completely different B",
+                                                 request_id="idem"))
+        assert "prompt A"[:9] not in r2.text or r2.text != r1.text or \
+            "different" in r2.text  # B's own output, not A's cached draft
+        # strongest check: outputs must mention their own prompts (MockStage echoes)
+        assert "completely different B"[:20][:12] in r2.text or "different" in r2.text
+
+    def test_late_stage_failure_metadata(self, predictor):
+        class Broken(MockStage):
+            def generate_text(self, *a, **k):
+                raise RuntimeError("boom")
+
+        stages = StageManager(
+            [
+                MockStage("ok", cost_per_token=1.0, capacity=0.01),
+                Broken("bad", cost_per_token=5.0),
+            ]
+        )
+
+        class Pessimist:
+            def predict(self, *a):
+                from adaptive_sd_tpu.core.types import PredictionResult
+                return PredictionResult(quality_score=0.0)
+
+        pipe = AdaptiveCascadePipeline(
+            stages, Pessimist(), PipelineConfig(lam=0.01, enable_caching=False)
+        )
+        res = pipe.process_request(RequestContext(prompt="will fail late"))
+        assert not res.succeeded
+        assert res.final_stage == 0  # last stage that actually produced output
+        assert res.total_cost == pipe.costs[0]
+
+    def test_batch_groups_preserve_sampling_params(self, predictor):
+        seen = []
+
+        class Recorder(MockStage):
+            def generate_text(self, prompts, max_new=256, temperature=0.0, top_p=1.0):
+                seen.append((len(prompts), max_new, temperature))
+                return super().generate_text(prompts, max_new=max_new)
+
+        pipe = AdaptiveCascadePipeline(
+            StageManager([Recorder("s", cost_per_token=1.0, capacity=0.99)]),
+            predictor, PipelineConfig(enable_caching=False),
+        )
+        reqs = [
+            RequestContext(prompt="a", max_tokens=8, temperature=0.0),
+            RequestContext(prompt="b", max_tokens=8, temperature=1.0),
+            RequestContext(prompt="c", max_tokens=8, temperature=0.0),
+        ]
+        pipe.batch_process(reqs)
+        temps = sorted((n, t) for n, _, t in seen)
+        assert (1, 1.0) in temps and (2, 0.0) in temps  # grouped, not overridden

@@ -312,3 +312,80 @@ class TestActQuant:
         oa = a.generate([[3, 5, 7, 9]], max_new=4)[0]
         ob = b.generate([[3, 5, 7, 9]], max_new=4)[0]
         assert oa.token_ids[0] == ob.token_ids[0]
+
+
+class TestSchedulerRegressions:
+    """Regressions for the code-review findings: idle-lane KV corruption,
+    near-max-context admission crash, page leak on failed admission."""
+
+    def test_partial_occupancy_matches_fused(self, tiny_params):
+        """One request in a 4-lane scheduler: idle lanes must not corrupt
+        the live request's KV (they used to write PAD KV through zeroed
+        table rows into page 0)."""
+        from adaptive_sd_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+        eng = TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=128, use_pallas=False)
+        fused = eng.generate([[3, 14, 15]], max_new=6)[0]
+        sched = ContinuousBatchingScheduler(eng, max_batch=4, max_context=128)
+        r = sched.submit([3, 14, 15], max_new=6)
+        sched.run_until_idle()
+        assert r.out_tokens == fused.token_ids.tolist()
+
+    def test_lane_reuse_after_retire_no_aliasing(self, tiny_params):
+        from adaptive_sd_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+        eng = TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=128, use_pallas=False)
+        expected = [o.token_ids.tolist() for o in eng.generate(
+            [[1, 2], [9, 8, 7]], max_new=5)]
+        sched = ContinuousBatchingScheduler(eng, max_batch=1, max_context=64)
+        a = sched.submit([1, 2], max_new=5)
+        sched.run_until_idle()
+        b = sched.submit([9, 8, 7], max_new=5)  # reuses lane 0 + LIFO pages
+        sched.run_until_idle()
+        assert a.out_tokens == expected[0]
+        assert b.out_tokens == expected[1]
+
+    def test_prompt_near_max_context_admits(self, tiny_params):
+        from adaptive_sd_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+        eng = TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=128, use_pallas=False)
+        sched = ContinuousBatchingScheduler(eng, max_batch=2, max_context=32)
+        r = sched.submit(list(range(1, 29)), max_new=4)  # 28 tokens, page=16
+        sched.run_until_idle()
+        assert r.done and not r.error and len(r.out_tokens) == 4
+
+    def test_admission_failure_frees_pages(self, tiny_params):
+        from adaptive_sd_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+        eng = TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=3, use_pallas=False)
+        sched = ContinuousBatchingScheduler(eng, max_batch=2, max_context=48)
+        r1 = sched.submit([1] * 17, max_new=2)  # needs 3 pages
+        r2 = sched.submit([2] * 17, max_new=2)  # cannot fit alongside
+        sched.step()
+        free_after = eng.allocator.stats().free_pages
+        assert free_after == 3  # nothing leaked whichever requests failed
+
+
+class TestVerifyBonusRegression:
+    def test_full_draft_acceptance_gets_true_next_token(self, tiny_params):
+        """Review finding: with a fully-accepted draft whose length equals the
+        bucketed max_draft, the bonus token must be the model's NEXT token,
+        not a re-emit of the last draft token."""
+        eng = TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=128, use_pallas=False)
+        prompt = [3, 14, 15]
+        full = eng.generate([prompt], max_new=12)[0]
+        draft = full.token_ids[:8].tolist()  # exactly the 8-bucket
+        out, n_acc = eng.verify_continue([prompt], [draft], max_new=12)[0]
+        assert n_acc == 8
+        assert out.token_ids.tolist() == full.token_ids.tolist()
+
+
+class TestBudgetBucketing:
+    def test_odd_max_new_exact_token_count(self, tiny_params):
+        """max_new=5 and 7 share the 32-bucket graph but must emit exactly
+        their own budgets."""
+        eng = TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=64, use_pallas=False)
+        a = eng.generate([[1, 2, 3]], max_new=5)[0]
+        b = eng.generate([[1, 2, 3]], max_new=7)[0]
+        assert a.num_tokens == 5 and b.num_tokens == 7
+        assert b.token_ids[:5].tolist() == a.token_ids.tolist()
