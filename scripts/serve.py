@@ -143,7 +143,12 @@ def main() -> None:
         stages = _real_stages(args.cascade_config)
 
     if args.predictor:
-        predictor = MLPQualityPredictor.load(args.predictor)
+        if args.predictor.endswith(".pkl"):
+            from adaptive_sd_tpu.predict import EnsembleQualityPredictor
+
+            predictor = EnsembleQualityPredictor.load(args.predictor)
+        else:
+            predictor = MLPQualityPredictor.load(args.predictor)
     else:
         X, y, _ = generate_synthetic(n_prompts=500, n_stages=len(stages))
         predictor = MLPQualityPredictor(n_stages=len(stages))
