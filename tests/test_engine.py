@@ -389,3 +389,20 @@ class TestBudgetBucketing:
         b = eng.generate([[1, 2, 3]], max_new=7)[0]
         assert a.num_tokens == 5 and b.num_tokens == 7
         assert b.token_ids[:5].tolist() == a.token_ids.tolist()
+
+
+class TestEngineStageStreaming:
+    def test_engine_text_stage_stream(self, tiny_params):
+        from adaptive_sd_tpu.cascade import EngineTextStage
+
+        eng = TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=64, use_pallas=False)
+        st = EngineTextStage(
+            eng,
+            lambda t: [(ord(c) % 255) + 1 for c in t[:16]] or [1],
+            lambda ids: " ".join(map(str, ids)),
+            name="s",
+        )
+        chunks = list(st.stream_text("stream through the stage", max_new=5))
+        assert chunks
+        full = st.generate_text(["stream through the stage"], max_new=5)[0]
+        assert "".join(chunks).strip() == full.text.strip()
