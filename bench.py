@@ -98,10 +98,12 @@ def main() -> None:
                 return best, result
 
             gen_wall, outs = timed(lambda: eng.generate(prompts, max_new=max_new))
-            gen_half, _ = timed(lambda: eng.generate(prompts, max_new=max_new // 2))
-            step = max((gen_wall - gen_half) / (max_new - max_new // 2), 1e-6)
+            # budget=1 reuses the SAME bucketed graph (traced budget), so this
+            # costs no extra compile and isolates prefill+overhead cleanly
+            gen_one, _ = timed(lambda: eng.generate(prompts, max_new=1))
+            step = max((gen_wall - gen_one) / (max_new - 1), 1e-6)
             dec_times[L] = step
-            pre_times[L] = max(gen_wall - max_new * step, 0.0)
+            pre_times[L] = max(gen_one - step, 0.0)
             drafts = [o.token_ids.tolist() or [1] for o in outs]
             ver_wall, vouts = timed(
                 lambda: eng.verify_continue(prompts, drafts, max_new=max_new)
