@@ -93,10 +93,14 @@ def load_params(
     *,
     bits: Optional[int] = 8,
     dtype=jnp.bfloat16,
+    fuse: bool = True,
 ) -> Params:
     """Load a Qwen2-style HF checkpoint into the engine's params tree.
 
     ``bits``: 8/4 quantizes every projection on the fly; None keeps ``dtype``.
+    ``fuse``: fuse q/k/v and gate/up per layer BEFORE quantizing (7 -> 4
+    projection kernels per layer); staged per-layer so host memory stays
+    O(layer), not O(model).
     """
     def _int4_grouped(w, _gs=128):
         gs = _gs if w.shape[0] % _gs == 0 else None
@@ -106,6 +110,20 @@ def load_params(
     layers: list[dict] = [dict() for _ in range(spec.n_layers)]
     params: Params = {"layers": layers}
     seen = set()
+    staging: dict[int, dict] = {}
+
+    def _try_fuse(li: int) -> None:
+        st = staging.get(li, {})
+        if {"q_proj", "k_proj", "v_proj"} <= st.keys():
+            w = jnp.concatenate([st.pop("q_proj"), st.pop("k_proj"), st.pop("v_proj")], axis=1)
+            layers[li]["qkv_proj"] = quant(w) if quant else w.astype(dtype)
+            if {"q_bias", "k_bias", "v_bias"} <= st.keys():
+                layers[li]["qkv_bias"] = jnp.concatenate(
+                    [st.pop("q_bias"), st.pop("k_bias"), st.pop("v_bias")], axis=0
+                ).astype(dtype)
+        if {"gate_proj", "up_proj"} <= st.keys():
+            w = jnp.concatenate([st.pop("gate_proj"), st.pop("up_proj")], axis=1)
+            layers[li]["gateup_proj"] = quant(w) if quant else w.astype(dtype)
 
     for name, tensor in _iter_safetensors(pathlib.Path(model_dir)):
         seen.add(name)
@@ -129,7 +147,17 @@ def load_params(
             if mapped is None:
                 continue  # rotary inv_freq etc.
             ours, is_matrix = mapped
-            if is_matrix:
+            fusable = ours in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
+                               "q_bias", "k_bias", "v_bias")
+            if fuse and fusable:
+                value = (
+                    jnp.asarray(np.ascontiguousarray(tensor.T))
+                    if is_matrix
+                    else jnp.asarray(tensor)
+                )
+                staging.setdefault(li, {})[ours] = value
+                _try_fuse(li)
+            elif is_matrix:
                 w = jnp.asarray(np.ascontiguousarray(tensor.T))
                 layers[li][ours] = (
                     quant(w) if (quant and ours in QUANTIZABLE) else w.astype(dtype)
@@ -142,11 +170,13 @@ def load_params(
     if "lm_head" not in params:
         if not spec.tie_embeddings:
             raise ModelLoadError("checkpoint missing lm_head.weight for untied spec")
+    attn_keys = ("qkv_proj",) if fuse else ("q_proj", "k_proj", "v_proj")
+    mlp_keys = ("gateup_proj",) if fuse else ("gate_proj", "up_proj")
     missing = [
         (li, key)
         for li, layer in enumerate(layers)
-        for key in ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj",
-                    "down_proj", "input_norm", "post_norm")
+        for key in (*attn_keys, "o_proj", *mlp_keys, "down_proj",
+                    "input_norm", "post_norm")
         if key not in layer
     ]
     if missing:

@@ -111,7 +111,37 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.bfloat16) -> Params:
     return params
 
 
-QUANT_KEYS = ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj")
+QUANT_KEYS = (
+    "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj",
+    "qkv_proj", "gateup_proj",
+)
+
+
+def fuse_projections(params: Params) -> Params:
+    """Fuse q/k/v -> one qkv matmul and gate/up -> one gateup matmul per
+    layer (7 projection kernels per layer -> 4). Pure re-layout: per-output-
+    channel quantization scales are unchanged by concatenation along the
+    output dim, so fused-then-quantized equals quantized-then-concatenated
+    exactly. Apply BEFORE quantize_model."""
+    out = dict(params)
+    out["layers"] = []
+    for layer in params["layers"]:
+        fl = dict(layer)
+        fl["qkv_proj"] = jnp.concatenate(
+            [layer["q_proj"], layer["k_proj"], layer["v_proj"]], axis=1
+        )
+        if "q_bias" in layer:
+            fl["qkv_bias"] = jnp.concatenate(
+                [layer["q_bias"], layer["k_bias"], layer["v_bias"]], axis=0
+            )
+        fl["gateup_proj"] = jnp.concatenate(
+            [layer["gate_proj"], layer["up_proj"]], axis=1
+        )
+        for k in ("q_proj", "k_proj", "v_proj", "q_bias", "k_bias", "v_bias",
+                  "gate_proj", "up_proj"):
+            fl.pop(k, None)
+        out["layers"].append(fl)
+    return out
 
 
 def quantize_model(
@@ -135,9 +165,37 @@ def quantize_model(
     for layer in params["layers"]:
         ql = dict(layer)
         for k in QUANT_KEYS:
-            ql[k] = quant(layer[k])
+            if k in layer:
+                ql[k] = quant(layer[k])
         out["layers"].append(ql)
     return out
+
+
+
+def _qkv(spec: ModelSpec, layer, x, *, use_pallas: bool, act_quant: bool):
+    """Q/K/V projections, fused (qkv_proj) or separate."""
+    D = spec.head_dim
+    nq, nkv = spec.n_heads * D, spec.n_kv_heads * D
+    if "qkv_proj" in layer:
+        qkv = linear(x, layer["qkv_proj"], layer.get("qkv_bias"),
+                     use_pallas=use_pallas, act_quant=act_quant)
+        return qkv[..., :nq], qkv[..., nq : nq + nkv], qkv[..., nq + nkv :]
+    q = linear(x, layer["q_proj"], layer.get("q_bias"), use_pallas=use_pallas, act_quant=act_quant)
+    k = linear(x, layer["k_proj"], layer.get("k_bias"), use_pallas=use_pallas, act_quant=act_quant)
+    v = linear(x, layer["v_proj"], layer.get("v_bias"), use_pallas=use_pallas, act_quant=act_quant)
+    return q, k, v
+
+
+def _mlp(spec: ModelSpec, layer, x, *, use_pallas: bool, act_quant: bool):
+    """SwiGLU MLP, fused (gateup_proj) or separate."""
+    if "gateup_proj" in layer:
+        gu = linear(x, layer["gateup_proj"], use_pallas=use_pallas, act_quant=act_quant)
+        gate, up = gu[..., : spec.ffn], gu[..., spec.ffn :]
+    else:
+        gate = linear(x, layer["gate_proj"], use_pallas=use_pallas, act_quant=act_quant)
+        up = linear(x, layer["up_proj"], use_pallas=use_pallas, act_quant=act_quant)
+    return linear(jax.nn.silu(gate) * up, layer["down_proj"],
+                  use_pallas=use_pallas, act_quant=act_quant)
 
 
 # ---------------------------------------------------------------------------
@@ -182,9 +240,7 @@ def prefill(
 
     for li, layer in enumerate(params["layers"]):
         x = rms_norm(h, layer["input_norm"], spec.rms_eps)
-        q = linear(x, layer["q_proj"], layer.get("q_bias"), use_pallas=use_pallas, act_quant=act_quant)
-        k = linear(x, layer["k_proj"], layer.get("k_bias"), use_pallas=use_pallas, act_quant=act_quant)
-        v = linear(x, layer["v_proj"], layer.get("v_bias"), use_pallas=use_pallas, act_quant=act_quant)
+        q, k, v = _qkv(spec, layer, x, use_pallas=use_pallas, act_quant=act_quant)
         q = apply_rope(_attn_shapes(spec, q, spec.n_heads), cos, sin)
         k = apply_rope(_attn_shapes(spec, k, spec.n_kv_heads), cos, sin)
         v = _attn_shapes(spec, v, spec.n_kv_heads)
@@ -196,9 +252,7 @@ def prefill(
         cache = cache.write_prefill(li, k, v, block_tables, seq_lens)
 
         x = rms_norm(h, layer["post_norm"], spec.rms_eps)
-        gate = linear(x, layer["gate_proj"], use_pallas=use_pallas, act_quant=act_quant)
-        up = linear(x, layer["up_proj"], use_pallas=use_pallas, act_quant=act_quant)
-        h = h + linear(jax.nn.silu(gate) * up, layer["down_proj"], use_pallas=use_pallas, act_quant=act_quant)
+        h = h + _mlp(spec, layer, x, use_pallas=use_pallas, act_quant=act_quant)
 
     last = jnp.take_along_axis(h, (seq_lens - 1)[:, None, None], axis=1)[:, 0]  # [B, H]
     logits = _logits(params, spec, last, use_pallas=use_pallas, act_quant=act_quant)
@@ -233,9 +287,7 @@ def decode_step(
 
     for li, layer in enumerate(params["layers"]):
         x = rms_norm(h, layer["input_norm"], spec.rms_eps)
-        q = linear(x, layer["q_proj"], layer.get("q_bias"), use_pallas=use_pallas, act_quant=act_quant)
-        k = linear(x, layer["k_proj"], layer.get("k_bias"), use_pallas=use_pallas, act_quant=act_quant)
-        v = linear(x, layer["v_proj"], layer.get("v_bias"), use_pallas=use_pallas, act_quant=act_quant)
+        q, k, v = _qkv(spec, layer, x, use_pallas=use_pallas, act_quant=act_quant)
         q = apply_rope(_attn_shapes(spec, q, spec.n_heads), cos[:, None, :], sin[:, None, :])
         k = apply_rope(_attn_shapes(spec, k, spec.n_kv_heads), cos[:, None, :], sin[:, None, :])
         v = _attn_shapes(spec, v, spec.n_kv_heads)  # [B, n_kv, D]
@@ -257,8 +309,6 @@ def decode_step(
         h = h + linear(attn, layer["o_proj"], use_pallas=use_pallas, act_quant=act_quant)
 
         x = rms_norm(h, layer["post_norm"], spec.rms_eps)
-        gate = linear(x, layer["gate_proj"], use_pallas=use_pallas, act_quant=act_quant)
-        up = linear(x, layer["up_proj"], use_pallas=use_pallas, act_quant=act_quant)
-        h = h + linear(jax.nn.silu(gate) * up, layer["down_proj"], use_pallas=use_pallas, act_quant=act_quant)
+        h = h + _mlp(spec, layer, x, use_pallas=use_pallas, act_quant=act_quant)
 
     return _logits(params, spec, h, use_pallas=use_pallas, act_quant=act_quant), cache

@@ -41,7 +41,7 @@ def main() -> None:
 
     from adaptive_sd_tpu.engine import TierEngine
     from adaptive_sd_tpu.models import get_spec, init_params, scaled_spec
-    from adaptive_sd_tpu.models.qwen import quantize_model
+    from adaptive_sd_tpu.models.qwen import fuse_projections, quantize_model
     from adaptive_sd_tpu.ops.matmul_q import on_tpu
     from adaptive_sd_tpu.predict import generate_synthetic
     from adaptive_sd_tpu.predict.inline import (
@@ -70,7 +70,7 @@ def main() -> None:
     print("building engines (compiles on first run)...", file=sys.stderr)
     engines = []
     for i, spec in enumerate(specs):
-        params = quantize_model(init_params(spec, jax.random.key(i)), bits=8)
+        params = quantize_model(fuse_projections(init_params(spec, jax.random.key(i))), bits=8)
         engines.append(
             TierEngine(
                 spec, params, page_size=128,

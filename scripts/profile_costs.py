@@ -43,7 +43,7 @@ def main() -> None:
 
         from adaptive_sd_tpu.engine import TierEngine
         from adaptive_sd_tpu.models import get_spec, init_params, scaled_spec
-        from adaptive_sd_tpu.models.qwen import quantize_model
+        from adaptive_sd_tpu.models.qwen import fuse_projections, quantize_model
 
         profiler.config = MeasurementConfig(
             input_lens=(64, 128, 256), output_lens=(16, 32), batch_sizes=(1, 4, 8),
@@ -54,7 +54,7 @@ def main() -> None:
                 scaled_spec(get_spec(name), layers=2, name=f"prof-{name}"),
                 vocab_size=32768, tie_embeddings=False,
             )
-            params = quantize_model(init_params(spec, jax.random.key(i)), bits=8)
+            params = quantize_model(fuse_projections(init_params(spec, jax.random.key(i))), bits=8)
             eng = TierEngine(spec, params, n_pages=128, use_pallas=True)
 
             def run(b, il, ol, eng=eng, spec=spec):

@@ -50,7 +50,7 @@ def _synthetic_stages() -> StageManager:
 
     from adaptive_sd_tpu.engine import TierEngine
     from adaptive_sd_tpu.models import TINY128, init_params, scaled_spec
-    from adaptive_sd_tpu.models.qwen import quantize_model
+    from adaptive_sd_tpu.models.qwen import fuse_projections, quantize_model
 
     def simple_tok(text: str) -> list[int]:
         return [(ord(c) % (TINY128.vocab_size - 1)) + 1 for c in text[:256]]
@@ -65,7 +65,7 @@ def _synthetic_stages() -> StageManager:
         import dataclasses
 
         spec = dataclasses.replace(scaled_spec(TINY128, layers=layers, name=name))
-        params = quantize_model(init_params(spec, jax.random.key(i)), bits=8)
+        params = quantize_model(fuse_projections(init_params(spec, jax.random.key(i))), bits=8)
         eng = TierEngine(spec, params, n_pages=256, use_pallas=False, cost_per_token=cost)
         stages.append(EngineTextStage(eng, simple_tok, simple_detok, name=name))
     return StageManager(stages)

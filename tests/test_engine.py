@@ -406,3 +406,29 @@ class TestEngineStageStreaming:
         assert chunks
         full = st.generate_text(["stream through the stage"], max_new=5)[0]
         assert "".join(chunks).strip() == full.text.strip()
+
+
+class TestFusedProjections:
+    def test_fused_matches_unfused_exactly(self, tiny_params):
+        """fuse_projections is a pure re-layout: token streams must be
+        IDENTICAL (per-channel quantization commutes with output-dim concat)."""
+        from adaptive_sd_tpu.models.qwen import fuse_projections, quantize_model
+
+        fused_q = quantize_model(fuse_projections(tiny_params), bits=8)
+        plain_q = quantize_model(tiny_params, bits=8)
+        e1 = TierEngine(TINY, plain_q, page_size=PAGE, n_pages=64, use_pallas=False)
+        e2 = TierEngine(TINY, fused_q, page_size=PAGE, n_pages=64, use_pallas=False)
+        a = e1.generate([[3, 14, 15, 9]], max_new=6)[0]
+        b = e2.generate([[3, 14, 15, 9]], max_new=6)[0]
+        assert a.token_ids.tolist() == b.token_ids.tolist()
+        np.testing.assert_allclose(a.logprobs, b.logprobs, rtol=1e-4, atol=1e-5)
+
+    def test_fused_unquantized(self, tiny_params):
+        from adaptive_sd_tpu.models.qwen import fuse_projections
+
+        e1 = TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=64, use_pallas=False)
+        e2 = TierEngine(TINY, fuse_projections(tiny_params), page_size=PAGE,
+                        n_pages=64, use_pallas=False)
+        a = e1.generate([[5, 6, 7]], max_new=5)[0]
+        b = e2.generate([[5, 6, 7]], max_new=5)[0]
+        assert a.token_ids.tolist() == b.token_ids.tolist()
