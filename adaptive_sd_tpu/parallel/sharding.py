@@ -59,22 +59,21 @@ def param_specs(params: dict, spec: ModelSpec, tp: int) -> dict:
     }
     if "lm_head" in params:
         out["lm_head"] = _spec_for(params["lm_head"], "col", tp)
+    # column-parallel (shard output dim) vs row-parallel (shard input dim);
+    # fused qkv/gateup are column-parallel like their unfused constituents.
+    COL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj", "qkv_proj", "gateup_proj")
+    ROW = ("o_proj", "down_proj")
     for layer in params["layers"]:
-        lo: dict[str, Any] = {
-            "input_norm": P(None),
-            "post_norm": P(None),
-            "q_proj": _spec_for(layer["q_proj"], "col", tp),
-            "k_proj": _spec_for(layer["k_proj"], "col", tp),
-            "v_proj": _spec_for(layer["v_proj"], "col", tp),
-            "o_proj": _spec_for(layer["o_proj"], "row", tp),
-            "gate_proj": _spec_for(layer["gate_proj"], "col", tp),
-            "up_proj": _spec_for(layer["up_proj"], "col", tp),
-            "down_proj": _spec_for(layer["down_proj"], "row", tp),
-        }
-        if "q_bias" in layer:
-            lo["q_bias"] = P(AXIS_TP)
-            lo["k_bias"] = P(AXIS_TP)
-            lo["v_bias"] = P(AXIS_TP)
+        lo: dict[str, Any] = {"input_norm": P(None), "post_norm": P(None)}
+        for key in COL:
+            if key in layer:
+                lo[key] = _spec_for(layer[key], "col", tp)
+        for key in ROW:
+            if key in layer:
+                lo[key] = _spec_for(layer[key], "row", tp)
+        for key in ("q_bias", "k_bias", "v_bias", "qkv_bias"):
+            if key in layer:
+                lo[key] = P(AXIS_TP)
         out["layers"].append(lo)
     return out
 

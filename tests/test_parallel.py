@@ -197,3 +197,21 @@ class TestMultihostMesh:
 
         with pytest.raises(ShardingError):
             build_multihost_mesh(dp=3, tp=2, dcn=2)
+
+
+class TestFusedSharding:
+    def test_fused_params_shard_and_run(self, eight_devices):
+        """Fused qkv/gateup layouts must shard (column-parallel) and produce
+        the same logits as unsharded fused execution."""
+        from adaptive_sd_tpu.engine import PagedKVCache, TierEngine
+        from adaptive_sd_tpu.models import TINY128, init_params
+        from adaptive_sd_tpu.models.qwen import fuse_projections
+
+        params = fuse_projections(init_params(TINY128, jax.random.key(0), jnp.float32))
+        mesh = build_mesh(dp=1, tp=4, devices=jax.devices()[:4])
+        ref = TierEngine(TINY128, params, n_pages=32, use_pallas=False)
+        ref_out = ref.generate([[5, 6, 7]], max_new=4)[0]
+        eng = TierEngine(TINY128, params, n_pages=32, mesh=mesh)
+        out = eng.generate([[5, 6, 7]], max_new=4)[0]
+        assert out.token_ids.tolist() == ref_out.token_ids.tolist()
+        assert len(eng.params["layers"][0]["qkv_proj"].sharding.device_set) == 4
