@@ -54,7 +54,7 @@ def main() -> None:
         # the per-layer decode time can be projected to the model's TRUE
         # depth (28/64/80 layers won't fit one chip together). vocab 32768
         # bounds embed memory; weights random INT8 (timing is shape-bound).
-        depths, vocab, B, max_new, prompt_len = (2, 4), 32768, 8, 32, 128
+        depths, vocab, B, max_new, prompt_len = (2, 6), 32768, 8, 32, 128
         tier_bases = ["qwen2.5-7b", "qwen2.5-32b", "qwen2.5-72b"]
         true_layers = [28, 64, 80]
         use_pallas = True
@@ -88,7 +88,7 @@ def main() -> None:
                 n_pages=B * ((prompt_len + max_new) // 128 + 2) + 8,
                 use_pallas=use_pallas,
             )
-            def timed(fn, reps=3):
+            def timed(fn, reps=4):
                 fn()  # compile + warm
                 best = float("inf")
                 for _ in range(reps):
