@@ -117,6 +117,67 @@ QUANT_KEYS = (
 )
 
 
+def init_params_quantized(
+    spec: ModelSpec, key: jax.Array, *, bits: int = 8, fuse: bool = True,
+    dtype=jnp.bfloat16,
+) -> Params:
+    """Random-init + fuse + quantize ONE LAYER AT A TIME so peak device
+    memory is O(one raw layer + quantized model), not O(raw model + quantized
+    model) — required to stand up large synthetic tiers on a single chip
+    (bench.py's 72B-width tiers OOM otherwise)."""
+    from ..ops.quant import quantize_int4, quantize_int8
+
+    def quant(w):
+        if bits == 16:
+            return w
+        if bits == 4:
+            gs = 128 if w.shape[0] % 128 == 0 else None
+            return quantize_int4(w, group_size=gs)
+        return quantize_int8(w)
+
+    H, D = spec.hidden, spec.head_dim
+    n_q, n_kv, F, V = spec.n_heads, spec.n_kv_heads, spec.ffn, spec.vocab_size
+    keys = iter(jax.random.split(key, 6 + spec.n_layers * 7))
+
+    def dense(k, shape, fan_in):
+        return (jax.random.normal(k, shape, jnp.float32) / math.sqrt(fan_in)).astype(dtype)
+
+    params: Params = {
+        "embed": dense(next(keys), (V, H), H),
+        "final_norm": jnp.ones((H,), dtype),
+        "layers": [],
+    }
+    if not spec.tie_embeddings:
+        params["lm_head"] = quant(dense(next(keys), (H, V), H))
+    for _ in range(spec.n_layers):
+        layer: dict[str, Any] = {
+            "input_norm": jnp.ones((H,), dtype),
+            "post_norm": jnp.ones((H,), dtype),
+        }
+        if fuse:
+            layer["qkv_proj"] = quant(dense(next(keys), (H, (n_q + 2 * n_kv) * D), H))
+            next(keys), next(keys)  # keep key schedule aligned with init_params
+            layer["gateup_proj"] = quant(dense(next(keys), (H, 2 * F), H))
+            next(keys)
+        else:
+            layer["q_proj"] = quant(dense(next(keys), (H, n_q * D), H))
+            layer["k_proj"] = quant(dense(next(keys), (H, n_kv * D), H))
+            layer["v_proj"] = quant(dense(next(keys), (H, n_kv * D), H))
+            layer["gate_proj"] = quant(dense(next(keys), (H, F), H))
+            layer["up_proj"] = quant(dense(next(keys), (H, F), H))
+        layer["o_proj"] = quant(dense(next(keys), (n_q * D, H), n_q * D))
+        layer["down_proj"] = quant(dense(next(keys), (F, H), F))
+        if spec.attn_bias:
+            if fuse:
+                layer["qkv_bias"] = jnp.zeros(((n_q + 2 * n_kv) * D,), dtype)
+            else:
+                layer["q_bias"] = jnp.zeros((n_q * D,), dtype)
+                layer["k_bias"] = jnp.zeros((n_kv * D,), dtype)
+                layer["v_bias"] = jnp.zeros((n_kv * D,), dtype)
+        params["layers"].append(layer)
+    return params
+
+
 def fuse_projections(params: Params) -> Params:
     """Fuse q/k/v -> one qkv matmul and gate/up -> one gateup matmul per
     layer (7 projection kernels per layer -> 4). Pure re-layout: per-output-

@@ -40,8 +40,8 @@ def main() -> None:
     import jax.numpy as jnp
 
     from adaptive_sd_tpu.engine import TierEngine
-    from adaptive_sd_tpu.models import get_spec, init_params, scaled_spec
-    from adaptive_sd_tpu.models.qwen import fuse_projections, quantize_model
+    from adaptive_sd_tpu.models import get_spec, scaled_spec
+    from adaptive_sd_tpu.models.qwen import init_params_quantized
     from adaptive_sd_tpu.policy import optimal_stopping_rule
 
     platform = jax.devices()[0].platform
@@ -82,7 +82,7 @@ def main() -> None:
                 scaled_spec(get_spec(base), layers=L, name=f"bench-t{i}-l{L}"),
                 vocab_size=vocab, tie_embeddings=False,
             )
-            params = quantize_model(fuse_projections(init_params(spec, jax.random.key(i))), bits=8)
+            params = init_params_quantized(spec, jax.random.key(i), bits=8)
             eng = TierEngine(
                 spec, params, page_size=128,
                 n_pages=B * ((prompt_len + max_new) // 128 + 2) + 8,
