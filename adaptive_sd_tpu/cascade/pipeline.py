@@ -55,6 +55,11 @@ class PipelineConfig:
     ema_alpha: float = 0.01
     prior_quality: Sequence[float] = (0.7, 0.8, 0.85, 0.95)
     quality_floor: float = 0.0   # optional hard floor: escalate if p below it
+    # Speculative escalation pays a (prompt+draft) verify pass; when the
+    # draft is predicted hopeless the accepted prefix will be ~0 and a plain
+    # re-run (prompt-only prefill) is cheaper. Drafts below this predicted
+    # quality are not carried into the next tier.
+    min_draft_quality_for_verify: float = 0.3
     cache_ttl_s: float = 1800.0
     cache_max_bytes: int = 1 << 30
 
@@ -215,6 +220,11 @@ class AdaptiveCascadePipeline:
                         and prev_output.token_ids is not None
                         and len(prev_output.token_ids)
                         and hasattr(stage, "verify_continue_text")
+                        and (
+                            not raw_probs
+                            or raw_probs[-1]
+                            >= self.config.min_draft_quality_for_verify
+                        )
                     ):
                         # Speculative escalation: this tier verifies the
                         # previous draft in one parallel pass instead of

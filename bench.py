@@ -168,15 +168,19 @@ def main() -> None:
     q_largest = float(goodness[:, -1].mean())
 
     def escalation_times(d: float) -> np.ndarray:
-        """Batch time to finish at tier k under SPECULATIVE escalation: tier 0
-        decodes in full; each higher tier verifies the previous draft in one
-        measured parallel pass and re-decodes only the rejected remainder
-        (expected rejected fraction = 1 - p_good of the drafting tier)."""
+        """Batch time to finish at tier k under ADAPTIVE speculative
+        escalation: each higher tier either verifies the previous draft (one
+        measured parallel pass + residual decode of the rejected fraction) or
+        plain re-runs (prompt prefill + full decode) — whichever is cheaper
+        given the draft's expected acceptance, mirroring the pipeline's
+        min_draft_quality_for_verify policy."""
         t = np.empty(n_tiers)
         t[0] = tier_prefill[0] + max_new * tier_step[0]
         for j in range(1, n_tiers):
             acc = p_good(j - 1, d)
-            t[j] = t[j - 1] + tier_verify[j] + (1.0 - acc) * max_new * tier_step[j]
+            spec_path = tier_verify[j] + (1.0 - acc) * max_new * tier_step[j]
+            plain_path = tier_prefill[j] + max_new * tier_step[j]
+            t[j] = t[j - 1] + min(spec_path, plain_path)
         return t
 
     def simulate(lam: float):

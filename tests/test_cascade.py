@@ -212,14 +212,17 @@ class TestEngineBackedPipeline:
         assert len(res.stage_results) >= 1
 
     def test_escalation_uses_speculative_verify(self, engine_pipeline):
-        # force escalation with tiny lambda and a predictor clamp
-        class PessimistPredictor:
+        # Borderline predicted quality: low enough to escalate (tiny lambda)
+        # but above min_draft_quality_for_verify, so the draft is carried
+        # into the speculative verify path (hopeless drafts take the plain
+        # path instead — see TestAdaptiveEscalationPolicy).
+        class BorderlinePredictor:
             def predict(self, prompt, draft, logprobs, stage):
                 from adaptive_sd_tpu.core.types import PredictionResult
 
-                return PredictionResult(quality_score=0.01)
+                return PredictionResult(quality_score=0.4)
 
-        engine_pipeline.predictor = PessimistPredictor()
+        engine_pipeline.predictor = BorderlinePredictor()
         res = engine_pipeline.process_request(
             RequestContext(prompt="must escalate", max_tokens=8)
         )
@@ -475,3 +478,47 @@ class TestReviewRegressions:
         pipe.batch_process(reqs)
         temps = sorted((n, t) for n, _, t in seen)
         assert (1, 1.0) in temps and (2, 0.0) in temps  # grouped, not overridden
+
+
+class TestAdaptiveEscalationPolicy:
+    def test_hopeless_draft_takes_plain_path(self, predictor):
+        import jax
+        import jax.numpy as jnp
+
+        from adaptive_sd_tpu.cascade import EngineTextStage
+        from adaptive_sd_tpu.engine import TierEngine
+        from adaptive_sd_tpu.models import TINY, init_params
+
+        calls = {"verify": 0, "plain": 0}
+
+        def tok(t):
+            return [(ord(c) % 255) + 1 for c in t[:24]] or [1]
+
+        def detok(ids):
+            return " ".join(map(str, ids))
+
+        stages = []
+        for i in range(2):
+            params = init_params(TINY, jax.random.key(i), dtype=jnp.float32)
+            eng = TierEngine(TINY, params, page_size=16, n_pages=256, use_pallas=False)
+            stages.append(EngineTextStage(eng, tok, detok, name=f"t{i}",
+                                          cost_per_token=[1.0, 4.0][i]))
+        orig_v = stages[1].verify_continue_text
+        orig_g = stages[1].generate_text
+        stages[1].verify_continue_text = lambda *a, **k: (
+            calls.__setitem__("verify", calls["verify"] + 1) or orig_v(*a, **k))
+        stages[1].generate_text = lambda *a, **k: (
+            calls.__setitem__("plain", calls["plain"] + 1) or orig_g(*a, **k))
+
+        class Pessimist:
+            def predict(self, *a):
+                from adaptive_sd_tpu.core.types import PredictionResult
+                return PredictionResult(quality_score=0.01)
+
+        pipe = AdaptiveCascadePipeline(
+            StageManager(stages), Pessimist(),
+            PipelineConfig(lam=0.01, enable_caching=False, max_new_tokens=6),
+        )
+        res = pipe.process_request(RequestContext(prompt="hopeless", max_tokens=6))
+        assert res.succeeded and res.final_stage == 1
+        assert calls["plain"] == 1 and calls["verify"] == 0
