@@ -121,6 +121,18 @@ def main() -> None:
                 ),
             }
         )
+    # phase 3: acceptance sanity — the target verifies its OWN greedy drafts
+    # (with real cascades the draft tier approximates the target, so
+    # acceptance lands between this ~1.0 ceiling and the random-weight floor)
+    own = engines[1].generate(prompts, max_new=args.max_new)
+    own_drafts = [o.token_ids.tolist() or [1] for o in own]
+    engines[1].verify_continue(prompts, own_drafts, max_new=args.max_new)  # warm
+    t0 = time.perf_counter()
+    self_ver = engines[1].verify_continue(prompts, own_drafts, max_new=args.max_new)
+    result["self_verify_wall_s"] = round(time.perf_counter() - t0, 4)
+    result["self_acceptance_frac"] = round(
+        float(np.mean([n / max(len(d), 1) for (_, n), d in zip(self_ver, own_drafts)])), 3
+    )
     print(json.dumps(result))
 
 
