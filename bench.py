@@ -144,7 +144,7 @@ def main() -> None:
     # distribution implies (7B 66.2%, BASELINE.md).
     capacities = np.array([0.72, 0.86, 0.98])[:n_tiers]
     rng = np.random.default_rng(0)
-    n_sim = 4000
+    n_sim = 8000
     difficulties = rng.beta(2, 2, size=n_sim)
     good_draws = rng.random((n_sim, n_tiers))      # ground-truth goodness draws
     pred_noise = rng.normal(0.0, 0.05, (n_sim, n_tiers))  # predictor error

@@ -121,9 +121,12 @@ def main() -> None:
                 ),
             }
         )
-    # phase 3: acceptance sanity — the target verifies its OWN greedy drafts
-    # (with real cascades the draft tier approximates the target, so
-    # acceptance lands between this ~1.0 ceiling and the random-weight floor)
+    # phase 3: acceptance sanity — the target verifies its OWN greedy drafts.
+    # NOTE: with RANDOM weights logits are near-uniform, so bf16 reduction-
+    # order differences between the S=128 generate bucket and the larger
+    # verify bucket flip argmax a few percent per token (~0.5 acceptance);
+    # real peaked logits are robust to this (CPU f32 test asserts exact
+    # acceptance, tests/test_engine.py::TestVerifyContinue).
     own = engines[1].generate(prompts, max_new=args.max_new)
     own_drafts = [o.token_ids.tolist() or [1] for o in own]
     engines[1].verify_continue(prompts, own_drafts, max_new=args.max_new)  # warm
