@@ -228,13 +228,18 @@ class AdaptiveCascadePipeline:
                     ):
                         # Speculative escalation: this tier verifies the
                         # previous draft in one parallel pass instead of
-                        # re-decoding.
+                        # re-decoding. When the draft carries its sampling
+                        # distribution (temperature > 0), verification uses
+                        # the exact stochastic rejection rule.
                         output = stage.verify_continue_text(
                             [request.prompt],
                             [prev_output.token_ids],
                             max_new=request.max_tokens,
                             temperature=request.temperature,
                             top_p=request.top_p,
+                            drafts_q=[prev_output.draft_q]
+                            if getattr(prev_output, "draft_q", None) is not None
+                            else None,
                         )[0]
                     elif getattr(stage, "inline_policy", None) is not None:
                         outs, escalate, p_hat = stage.generate_with_inline_policy(
@@ -381,6 +386,7 @@ class AdaptiveCascadePipeline:
         decisions: list[Optional[OptimizationDecision]] = [None] * n_req
 
         drafts: dict[int, Any] = {}
+        drafts_q: dict[int, Any] = {}
         for i, stage in enumerate(self.stages):
             if not active:
                 break
@@ -402,13 +408,16 @@ class AdaptiveCascadePipeline:
                     and all(d is not None and len(d) for d in draft_batch)
                 ):
                     # Speculative escalation, batched: verify the drafts of
-                    # every group member in one parallel pass.
+                    # every group member in one parallel pass (stochastic
+                    # rule when every member carries its draft distribution).
+                    q_batch = [drafts_q.get(r) for r in members]
                     outs = stage.verify_continue_text(
                         [requests[r].prompt for r in members],
                         draft_batch,
                         max_new=g_max,
                         temperature=g_temp,
                         top_p=g_topp,
+                        drafts_q=q_batch if all(q is not None for q in q_batch) else None,
                     )
                 else:
                     outs = stage.generate_text(
@@ -421,6 +430,7 @@ class AdaptiveCascadePipeline:
                     outs_by_r[r] = out
                     if out.token_ids is not None:
                         drafts[r] = out.token_ids
+                        drafts_q[r] = getattr(out, "draft_q", None)
             outs = [outs_by_r[r] for r in active]
             is_last = i == self.n_stages - 1
             still_active = []

@@ -44,7 +44,12 @@ class EngineTextStage:
         cost_per_token: Optional[float] = None,
         inline_policy=None,                       # predict.inline.InlinePolicyParams
         stage_index: int = 0,
+        spec_topk: int = 64,
     ) -> None:
+        """``spec_topk``: when sampling (temperature > 0), carry the top-K of
+        each step's sampling distribution on the outputs so a later tier can
+        run the exact stochastic verify. Set 0 on the final tier (its outputs
+        are never verified) to skip the per-step top_k."""
         self.engine = engine
         self.tokenize = tokenize
         self.detokenize = detokenize
@@ -54,6 +59,7 @@ class EngineTextStage:
         )
         self.inline_policy = inline_policy
         self.stage_index = stage_index
+        self.spec_topk = spec_topk
 
     def generate_with_inline_policy(
         self, prompts, max_new=256, temperature=0.0, top_p=1.0
@@ -72,6 +78,7 @@ class EngineTextStage:
             max_new=max_new,
             temperature=temperature,
             top_p=top_p,
+            return_topk=self.spec_topk,
         )
         dt = time.perf_counter() - t0
         results = []
@@ -86,6 +93,8 @@ class EngineTextStage:
                     generation_time_s=dt,
                     tokens_per_second=out.num_tokens / dt if dt > 0 else 0.0,
                     stage_name=self.name,
+                    draft_topk_ids=out.topk_ids,
+                    draft_topk_probs=out.topk_probs,
                 )
             )
         return results, escalate, p_hat
@@ -94,7 +103,8 @@ class EngineTextStage:
         tok_prompts = [self.tokenize(p) for p in prompts]
         t0 = time.perf_counter()
         outs = self.engine.generate(
-            tok_prompts, max_new=max_new, temperature=temperature, top_p=top_p
+            tok_prompts, max_new=max_new, temperature=temperature, top_p=top_p,
+            return_topk=self.spec_topk,
         )
         dt = time.perf_counter() - t0
         results = []
@@ -110,18 +120,25 @@ class EngineTextStage:
                     generation_time_s=dt,
                     tokens_per_second=n / dt if dt > 0 else 0.0,
                     stage_name=self.name,
+                    draft_topk_ids=out.topk_ids,
+                    draft_topk_probs=out.topk_probs,
                 )
             )
         return results
 
     def verify_continue_text(
-        self, prompts, drafts_token_ids, max_new=256, temperature=0.0, top_p=1.0
+        self, prompts, drafts_token_ids, max_new=256, temperature=0.0, top_p=1.0,
+        drafts_q=None,
     ):
         """Speculative escalation: verify the previous tier's draft tokens in
         one parallel pass, keep the accepted prefix, decode the rest
         (engine.verify_continue). Returns ModelOutputs; the acceptance count
         is exposed via ``ModelOutput.finish_reason`` metadata-free channel —
-        callers read tokens/logprobs exactly like generate_text."""
+        callers read tokens/logprobs exactly like generate_text.
+
+        ``drafts_q``: per-request (logprobs, topk_ids, topk_probs) from the
+        draft tier (ModelOutput.draft_q) — with temperature > 0 enables the
+        exact stochastic rejection rule instead of argmax acceptance."""
         tok_prompts = [self.tokenize(p) for p in prompts]
         t0 = time.perf_counter()
         outs = self.engine.verify_continue(
@@ -130,6 +147,7 @@ class EngineTextStage:
             max_new=max_new,
             temperature=temperature,
             top_p=top_p,
+            draft_q=drafts_q,
         )
         dt = time.perf_counter() - t0
         results = []

@@ -78,6 +78,19 @@ class ModelOutput:
     tokens_per_second: float = 0.0
     stage_name: str = ""
     finish_reason: str = "stop"    # stop | length | error
+    # Draft sampling-distribution support (top-K ids/probs per generated
+    # token, plus logprobs above): present when the stage sampled with
+    # temperature > 0 and may be escalated — the next tier's stochastic
+    # verifier consumes it (engine/decode.py verify_continue draft_q).
+    draft_topk_ids: Any = None     # np.ndarray[int32] [n, K] | None
+    draft_topk_probs: Any = None   # np.ndarray[float32] [n, K] | None
+
+    @property
+    def draft_q(self):
+        """(logprobs, topk_ids, topk_probs) for speculative verify, or None."""
+        if self.draft_topk_ids is None or self.logprobs is None:
+            return None
+        return (self.logprobs, self.draft_topk_ids, self.draft_topk_probs)
 
 
 @dataclass

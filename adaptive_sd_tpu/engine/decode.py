@@ -22,6 +22,7 @@ import functools
 import math
 import time
 from dataclasses import dataclass, field
+from types import SimpleNamespace
 from typing import Optional, Sequence
 
 import jax
@@ -46,6 +47,21 @@ def _bucket_len(s: int, multiple: int) -> int:
     return max(multiple, ((s + multiple - 1) // multiple) * multiple)
 
 
+def _default_fwd(use_pallas: bool, act_quant: bool):
+    """Single-device / GSPMD forward triple. The shard_map tensor-parallel
+    path (models/qwen_tp.make_tp_forward) provides the same interface, so
+    every generation graph below is parallelism-agnostic."""
+    return SimpleNamespace(
+        prefill=functools.partial(prefill, use_pallas=use_pallas, act_quant=act_quant),
+        decode_step=functools.partial(
+            decode_step, use_pallas=use_pallas, act_quant=act_quant
+        ),
+        logits_at=functools.partial(
+            logits_at, use_pallas=use_pallas, act_quant=act_quant
+        ),
+    )
+
+
 @dataclass
 class GenerationOutput:
     """Per-request generation payload (host side)."""
@@ -54,27 +70,46 @@ class GenerationOutput:
     logprobs: np.ndarray       # [n] float32
     prefill_time_s: float
     decode_time_s: float
+    # draft-side sampling distribution support (top-K of the adjusted
+    # distribution per generated token) — carried to the next tier's
+    # stochastic verifier so escalation preserves the sampling distribution
+    # exactly (ops.sampling.speculative_accept). None unless requested.
+    topk_ids: Optional[np.ndarray] = None    # [n, K] int32
+    topk_probs: Optional[np.ndarray] = None  # [n, K] float32
 
     @property
     def num_tokens(self) -> int:
         return int(self.token_ids.shape[0])
 
 
-def _make_generate_fn(spec: ModelSpec, use_pallas: bool, act_quant: bool = False):
+def _make_generate_fn(spec: ModelSpec, fwd):
     """Fused prefill + while-loop decode. Static over (max_new, temperature,
     top_p, eos_id); traced over token/table/cache shapes."""
 
-    def fn(params, tokens, seq_lens, block_tables, cache, key, budget, *, max_new, temperature, top_p, eos_id):
+    def fn(params, tokens, seq_lens, block_tables, cache, key, budget, *, max_new, temperature, top_p, eos_id, return_topk=0):
         # ``max_new`` is a bucketed static bound (compile-cache key); ``budget``
         # is the request's actual token budget, traced — arbitrary client
         # max_tokens values reuse one graph per bucket instead of recompiling.
+        # ``return_topk`` (static) > 0 additionally records the top-K of each
+        # step's adjusted sampling distribution — the draft-side support the
+        # next tier's stochastic verifier needs for the exact rejection rule.
         B = tokens.shape[0]
-        logits, cache = prefill(
-            params, spec, tokens, seq_lens, cache, block_tables,
-            use_pallas=use_pallas, act_quant=act_quant,
-        )
+        logits, cache = fwd.prefill(params, spec, tokens, seq_lens, cache, block_tables)
         key, k0 = jax.random.split(key)
-        first = sample(logits, k0, temperature=temperature, top_p=top_p)
+        if return_topk:
+            from ..ops.sampling import sample_with_topk
+
+            first, qi0, qp0 = sample_with_topk(
+                logits, k0, return_topk, temperature, top_p
+            )
+            q_cur = (qi0, qp0)
+            q_bufs = (
+                jnp.zeros((B, max_new, return_topk), jnp.int32),
+                jnp.zeros((B, max_new, return_topk), jnp.float32),
+            )
+        else:
+            first = sample(logits, k0, temperature=temperature, top_p=top_p)
+            q_cur, q_bufs = (), ()
 
         out_toks = jnp.full((B, max_new), PAD_ID, jnp.int32)
         out_lps = jnp.zeros((B, max_new), jnp.float32)
@@ -82,35 +117,48 @@ def _make_generate_fn(spec: ModelSpec, use_pallas: bool, act_quant: bool = False
         gen_len = jnp.zeros((B,), jnp.int32)
 
         def cond(state):
-            i, _, active, *_ = state
+            i, _, _, active, *_ = state
             return jnp.logical_and(i < max_new, jnp.any(active))
 
         def body(state):
-            i, tok, active, cache, out_toks, out_lps, gen_len, key = state
+            i, tok, q_cur, active, cache, out_toks, out_lps, q_bufs, gen_len, key = state
             writing = jnp.logical_and(active, i < budget)
             out_toks = out_toks.at[:, i].set(jnp.where(writing, tok.token, PAD_ID))
             out_lps = out_lps.at[:, i].set(jnp.where(writing, tok.logprob, 0.0))
+            if return_topk:
+                qi, qp = q_cur
+                q_bufs = (
+                    q_bufs[0].at[:, i].set(jnp.where(writing[:, None], qi, 0)),
+                    q_bufs[1].at[:, i].set(jnp.where(writing[:, None], qp, 0.0)),
+                )
             gen_len = gen_len + writing.astype(jnp.int32)
             if eos_id is not None:
                 active = jnp.logical_and(active, tok.token != eos_id)
             active = jnp.logical_and(active, i + 1 < budget)
             positions = seq_lens + i  # position of the token being fed
-            logits, cache = decode_step(
-                params, spec, tok.token, positions, cache, block_tables,
-                use_pallas=use_pallas, act_quant=act_quant,
-            )
+            logits, cache = fwd.decode_step(params, spec, tok.token, positions, cache, block_tables)
             key, kk = jax.random.split(key)
-            nxt = sample(logits, kk, temperature=temperature, top_p=top_p)
-            return (i + 1, nxt, active, cache, out_toks, out_lps, gen_len, key)
+            if return_topk:
+                from ..ops.sampling import sample_with_topk
 
-        state = (0, first, active, cache, out_toks, out_lps, gen_len, key)
-        _, _, _, cache, out_toks, out_lps, gen_len, _ = jax.lax.while_loop(cond, body, state)
-        return out_toks, out_lps, gen_len, cache
+                nxt, nqi, nqp = sample_with_topk(
+                    logits, kk, return_topk, temperature, top_p
+                )
+                q_cur = (nqi, nqp)
+            else:
+                nxt = sample(logits, kk, temperature=temperature, top_p=top_p)
+            return (i + 1, nxt, q_cur, active, cache, out_toks, out_lps, q_bufs, gen_len, key)
+
+        state = (0, first, q_cur, active, cache, out_toks, out_lps, q_bufs, gen_len, key)
+        _, _, _, _, cache, out_toks, out_lps, q_bufs, gen_len, _ = jax.lax.while_loop(
+            cond, body, state
+        )
+        return out_toks, out_lps, gen_len, q_bufs, cache
 
     return fn
 
 
-def _make_verify_continue_fn(spec: ModelSpec, use_pallas: bool, act_quant: bool = False):
+def _make_verify_continue_fn(spec: ModelSpec, fwd):
     """Speculative escalation: ONE prefill over [prompt + draft] verifies the
     draft in parallel (greedy acceptance: longest prefix where this model's
     argmax equals the draft token), emits the model's own token at the first
@@ -129,6 +177,10 @@ def _make_verify_continue_fn(spec: ModelSpec, use_pallas: bool, act_quant: bool 
         cache,
         key,
         budget,        # traced actual token budget (<= max_new bucket)
+        draft_q,       # () for greedy verify, or (draft_lp [B,Dw], q_ids
+                       # [B,Dw,K], q_probs [B,Dw,K]) — the draft model's own
+                       # per-token logprob + top-K support, enabling the
+                       # exact stochastic rejection rule at temperature > 0
         *,
         max_new,       # static bucketed output-window width
         max_draft,     # static draft-window width
@@ -137,9 +189,8 @@ def _make_verify_continue_fn(spec: ModelSpec, use_pallas: bool, act_quant: bool 
         eos_id,
     ):
         B, S = tokens.shape
-        _, cache, h = prefill(
-            params, spec, tokens, total_lens, cache, block_tables,
-            use_pallas=use_pallas, act_quant=act_quant, return_hidden=True,
+        _, cache, h = fwd.prefill(
+            params, spec, tokens, total_lens, cache, block_tables, return_hidden=True
         )
         # Hidden state at position prompt_lens-1+i predicts draft token i.
         # Window of max_draft + 1 positions: index i predicts draft token i;
@@ -149,28 +200,48 @@ def _make_verify_continue_fn(spec: ModelSpec, use_pallas: bool, act_quant: bool 
         pos = prompt_lens[:, None] - 1 + jnp.arange(max_draft + 1)[None, :]
         pos_c = jnp.clip(pos, 0, S - 1)
         h_sel = jnp.take_along_axis(h, pos_c[:, :, None], axis=1)      # [B, Dw+1, H]
-        logits_d = logits_at(params, spec, h_sel, use_pallas=use_pallas, act_quant=act_quant)
-        logp_d = jax.nn.log_softmax(logits_d, axis=-1)                  # [B, Dw+1, V]
-        pred = jnp.argmax(logits_d, axis=-1).astype(jnp.int32)          # [B, Dw+1]
+        logits_d = fwd.logits_at(params, spec, h_sel)
 
         draft_idx = jnp.clip(prompt_lens[:, None] + jnp.arange(max_draft)[None, :], 0, S - 1)
         draft = jnp.take_along_axis(tokens, draft_idx, axis=1)          # [B, Dw]
         draft_len = total_lens - prompt_lens
-        valid = jnp.arange(max_draft)[None, :] < draft_len[:, None]
-        match = jnp.logical_and(pred[:, :max_draft] == draft, valid)
-        n_acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)  # [B]
 
-        # Verifier's token at the first mismatch (or right after the draft).
-        bonus_pos = n_acc  # in [0, max_draft]; the +1 window makes it valid
-        bonus_tok = jnp.take_along_axis(pred, bonus_pos[:, None], axis=1)[:, 0]
-        bonus_lp = jnp.take_along_axis(
-            jnp.take_along_axis(logp_d, bonus_pos[:, None, None], axis=1)[:, 0],
-            bonus_tok[:, None],
-            axis=1,
-        )[:, 0]
-        draft_lp = jnp.take_along_axis(
-            logp_d[:, :max_draft], draft[:, :, None], axis=2
-        )[:, :, 0]
+        if draft_q:
+            # Stochastic acceptance: preserves the target model's sampling
+            # distribution exactly (ops.sampling.speculative_accept).
+            from ..ops.sampling import adjusted_logits, speculative_accept
+
+            dlp_q, q_ids, q_probs = draft_q
+            logp_t = jax.nn.log_softmax(
+                adjusted_logits(logits_d, temperature, top_p), axis=-1
+            )                                                           # [B, Dw+1, V]
+            key, ka = jax.random.split(key)
+            n_acc, bonus_tok, bonus_lp = speculative_accept(
+                ka, draft, dlp_q, q_ids, q_probs, logp_t, draft_len
+            )
+            draft_lp = jnp.take_along_axis(
+                logp_t[:, :max_draft], draft[:, :, None], axis=2
+            )[:, :, 0]
+        else:
+            # Greedy acceptance: longest prefix where this model's argmax
+            # equals the draft token.
+            logp_d = jax.nn.log_softmax(logits_d, axis=-1)              # [B, Dw+1, V]
+            pred = jnp.argmax(logits_d, axis=-1).astype(jnp.int32)      # [B, Dw+1]
+            valid = jnp.arange(max_draft)[None, :] < draft_len[:, None]
+            match = jnp.logical_and(pred[:, :max_draft] == draft, valid)
+            n_acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)  # [B]
+
+            # Verifier's token at the first mismatch (or right after the draft).
+            bonus_pos = n_acc  # in [0, max_draft]; the +1 window makes it valid
+            bonus_tok = jnp.take_along_axis(pred, bonus_pos[:, None], axis=1)[:, 0]
+            bonus_lp = jnp.take_along_axis(
+                jnp.take_along_axis(logp_d, bonus_pos[:, None, None], axis=1)[:, 0],
+                bonus_tok[:, None],
+                axis=1,
+            )[:, 0]
+            draft_lp = jnp.take_along_axis(
+                logp_d[:, :max_draft], draft[:, :, None], axis=2
+            )[:, :, 0]
 
         # Output buffer: accepted draft prefix, then the bonus token, then
         # continued decoding. Write index is per-request.
@@ -210,10 +281,7 @@ def _make_verify_continue_fn(spec: ModelSpec, use_pallas: bool, act_quant: bool 
                 active = jnp.logical_and(active, tok.token != eos_id)
             active = jnp.logical_and(active, wr + 1 < budget)
             positions = prompt_lens + wr  # position of the token being fed
-            logits, cache = decode_step(
-                params, spec, tok.token, positions, cache, block_tables,
-                use_pallas=use_pallas, act_quant=act_quant,
-            )
+            logits, cache = fwd.decode_step(params, spec, tok.token, positions, cache, block_tables)
             key, kk = jax.random.split(key)
             nxt = sample(logits, kk, temperature=temperature, top_p=top_p)
             return (nxt, active, wr + 1, cache, out_toks, out_lps, gen_len, key)
@@ -246,17 +314,30 @@ class TierEngine:
         act_quant: bool = False,
     ) -> None:
         """``mesh``: optional jax Mesh (a disjoint sub-mesh of the pod slice,
-        parallel.plan_tier_placements) — params and KV pages are GSPMD-
-        sharded onto it and every graph runs on those devices only, so
-        cascade tiers co-schedule on disjoint device sets (SURVEY.md §2.8).
-        Multi-device meshes currently run the jnp kernel path
-        (use_pallas=False); per-shard Pallas via shard_map is future work."""
+        parallel.plan_tier_placements) — cascade tiers co-schedule on
+        disjoint device sets (SURVEY.md §2.8). When the mesh has a ``tp``
+        axis and the architecture divides across it, the engine takes the
+        shard_map tensor-parallel path (models/qwen_tp.py): the whole forward
+        runs per-shard — Pallas kernels intact — with one psum per sublayer.
+        Otherwise it falls back to plain GSPMD with the jnp kernel path
+        (pallas_call cannot be auto-partitioned)."""
         self.spec = spec
         self.name = name or spec.name
         self.page_size = page_size
         self.mesh = mesh
-        if mesh is not None and np.prod([mesh.shape[a] for a in mesh.axis_names]) > 1:
-            use_pallas = False
+        self.tp_mode = False
+        fwd = None
+        if mesh is not None:
+            from ..parallel.mesh import AXIS_TP
+
+            tp = mesh.shape[AXIS_TP] if AXIS_TP in mesh.axis_names else 1
+            total = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+            if tp > 1:
+                from ..models.qwen_tp import tp_compatible
+
+                self.tp_mode = tp_compatible(spec, params, tp)
+            if not self.tp_mode and total > 1:
+                use_pallas = False
         self.use_pallas = use_pallas
         self.act_quant = act_quant
         self.eos_id = eos_id
@@ -266,20 +347,36 @@ class TierEngine:
         self.allocator = make_page_allocator(n_pages)
         cache = PagedKVCache.create(spec, n_pages, page_size)
         if mesh is not None:
-            from ..parallel.sharding import shard_cache, shard_params
+            if self.tp_mode:
+                from ..models.qwen_tp import (
+                    make_tp_forward,
+                    prepare_tp_params,
+                    shard_cache_tp,
+                )
 
-            params = shard_params(params, spec, mesh)
-            cache = shard_cache(cache, spec, mesh)
+                params = prepare_tp_params(params, spec, mesh)
+                cache = shard_cache_tp(cache, mesh)
+                fwd = make_tp_forward(
+                    spec, mesh, use_pallas=use_pallas, act_quant=act_quant
+                )
+            else:
+                from ..parallel.sharding import shard_cache, shard_params
+
+                params = shard_params(params, spec, mesh)
+                cache = shard_cache(cache, spec, mesh)
+        if fwd is None:
+            fwd = _default_fwd(use_pallas, act_quant)
+        self.fwd = fwd
         self.params = params
         self.cache = cache
-        self._generate_raw = _make_generate_fn(spec, use_pallas, act_quant)
+        self._generate_raw = _make_generate_fn(spec, fwd)
         donate = (4,) if donate_cache else ()
         self._generate_jit = jax.jit(
             self._generate_raw,
-            static_argnames=("max_new", "temperature", "top_p", "eos_id"),
+            static_argnames=("max_new", "temperature", "top_p", "eos_id", "return_topk"),
             donate_argnums=donate,
         )
-        self._verify_raw = _make_verify_continue_fn(spec, use_pallas, act_quant)
+        self._verify_raw = _make_verify_continue_fn(spec, fwd)
         self._verify_jit = jax.jit(
             self._verify_raw,
             static_argnames=("max_new", "max_draft", "temperature", "top_p", "eos_id"),
@@ -287,19 +384,22 @@ class TierEngine:
         )
 
         def _generate_policy(params, tokens, seq_lens, block_tables, cache, key, policy,
-                             budget, *, max_new, temperature, top_p, eos_id, stage_index):
+                             budget, *, max_new, temperature, top_p, eos_id, stage_index,
+                             return_topk=0):
             from ..predict.inline import inline_decision
 
-            out_toks, out_lps, gen_len, cache = self._generate_raw(
+            out_toks, out_lps, gen_len, q_bufs, cache = self._generate_raw(
                 params, tokens, seq_lens, block_tables, cache, key, budget,
                 max_new=max_new, temperature=temperature, top_p=top_p, eos_id=eos_id,
+                return_topk=return_topk,
             )
             escalate, p_hat = inline_decision(policy, out_lps, gen_len, stage_index)
-            return out_toks, out_lps, gen_len, escalate, p_hat, cache
+            return out_toks, out_lps, gen_len, q_bufs, escalate, p_hat, cache
 
         self._generate_policy_jit = jax.jit(
             _generate_policy,
-            static_argnames=("max_new", "temperature", "top_p", "eos_id", "stage_index"),
+            static_argnames=("max_new", "temperature", "top_p", "eos_id", "stage_index",
+                             "return_topk"),
             donate_argnums=(4,) if donate_cache else (),
         )
         self._prefill_jit = jax.jit(
@@ -308,21 +408,37 @@ class TierEngine:
         self._decode_jit = jax.jit(
             self._decode_fn, donate_argnums=(3,) if donate_cache else ()
         )
+
+        # fused single-step + sample graphs for the continuous-batching
+        # scheduler: ONE dispatch per scheduler step (forward + per-lane
+        # temperature sampling), one small host fetch (tokens/logprobs)
+        from ..ops.sampling import sample_rows
+
+        def _prefill_sample(params, tokens, seq_lens, block_tables, cache, temps, key):
+            logits, cache = fwd.prefill(params, spec, tokens, seq_lens, cache, block_tables)
+            res = sample_rows(logits, key, temps)
+            return res.token, res.logprob, cache
+
+        def _decode_sample(params, tokens, positions, cache, block_tables, temps, key):
+            logits, cache = fwd.decode_step(params, spec, tokens, positions, cache, block_tables)
+            res = sample_rows(logits, key, temps)
+            return res.token, res.logprob, cache
+
+        self._prefill_sample_jit = jax.jit(
+            _prefill_sample, donate_argnums=(4,) if donate_cache else ()
+        )
+        self._decode_sample_jit = jax.jit(
+            _decode_sample, donate_argnums=(3,) if donate_cache else ()
+        )
         self.total_generated_tokens = 0
         self.total_decode_time_s = 0.0
 
     # single-step graphs for the continuous-batching scheduler ---------------
     def _prefill_fn(self, params, tokens, seq_lens, block_tables, cache):
-        return prefill(
-            params, self.spec, tokens, seq_lens, cache, block_tables,
-            use_pallas=self.use_pallas, act_quant=self.act_quant,
-        )
+        return self.fwd.prefill(params, self.spec, tokens, seq_lens, cache, block_tables)
 
     def _decode_fn(self, params, tokens, positions, cache, block_tables):
-        return decode_step(
-            params, self.spec, tokens, positions, cache, block_tables,
-            use_pallas=self.use_pallas, act_quant=self.act_quant,
-        )
+        return self.fwd.decode_step(params, self.spec, tokens, positions, cache, block_tables)
 
     def prefill_batch(self, tokens: jax.Array, seq_lens: jax.Array, block_tables: jax.Array):
         logits, self.cache = self._prefill_jit(
@@ -336,6 +452,24 @@ class TierEngine:
         )
         return logits
 
+    def prefill_sample_batch(self, tokens, seq_lens, block_tables, temps, key):
+        """Fused prefill + per-row sample: returns host (tokens [B], logprobs
+        [B]) in one dispatch (scheduler admission path)."""
+        tok, lp, self.cache = self._prefill_sample_jit(
+            self.params, jnp.asarray(tokens), jnp.asarray(seq_lens),
+            jnp.asarray(block_tables), self.cache, jnp.asarray(temps, jnp.float32), key,
+        )
+        return jax.device_get((tok, lp))
+
+    def decode_sample_batch(self, tokens, positions, block_tables, temps, key):
+        """Fused decode step + per-row sample (scheduler hot loop): one
+        dispatch, one [B]-sized fetch."""
+        tok, lp, self.cache = self._decode_sample_jit(
+            self.params, jnp.asarray(tokens), jnp.asarray(positions), self.cache,
+            jnp.asarray(block_tables), jnp.asarray(temps, jnp.float32), key,
+        )
+        return jax.device_get((tok, lp))
+
     # fused offline/bench path ----------------------------------------------
     def generate(
         self,
@@ -345,7 +479,13 @@ class TierEngine:
         temperature: float = 0.0,
         top_p: float = 1.0,
         seed: int = 0,
+        return_topk: int = 0,
     ) -> list[GenerationOutput]:
+        """``return_topk`` > 0 (requires temperature > 0) also returns the
+        top-K of each step's sampling distribution on the outputs — the
+        draft-side support for a later tier's stochastic verify."""
+        if return_topk and temperature <= 0.0:
+            return_topk = 0  # greedy verify needs no draft distribution
         B = len(prompts)
         Bb = _bucket_batch(B)
         lens = [len(p) for p in prompts]
@@ -364,7 +504,7 @@ class TierEngine:
             for b in range(Bb):
                 tables[b] = self.allocator.alloc(f"{rid}_{b}", max_pages)
             t0 = time.perf_counter()
-            out_toks, out_lps, gen_len, self.cache = self._generate_jit(
+            out_toks, out_lps, gen_len, q_bufs, self.cache = self._generate_jit(
                 self.params,
                 jnp.asarray(tokens),
                 jnp.asarray(seq_lens),
@@ -376,8 +516,11 @@ class TierEngine:
                 temperature=temperature,
                 top_p=top_p,
                 eos_id=self.eos_id,
+                return_topk=return_topk,
             )
-            out_toks, out_lps, gen_len = jax.device_get((out_toks, out_lps, gen_len))
+            out_toks, out_lps, gen_len, q_bufs = jax.device_get(
+                (out_toks, out_lps, gen_len, q_bufs)
+            )
             dt = time.perf_counter() - t0
         finally:
             for b in range(Bb):
@@ -392,6 +535,8 @@ class TierEngine:
                     logprobs=out_lps[i, :n].copy(),
                     prefill_time_s=0.0,
                     decode_time_s=dt,
+                    topk_ids=q_bufs[0][i, :n].copy() if return_topk else None,
+                    topk_probs=q_bufs[1][i, :n].copy() if return_topk else None,
                 )
             )
         self.total_generated_tokens += int(gen_len[:B].sum())
@@ -452,11 +597,14 @@ class TierEngine:
         temperature: float = 0.0,
         top_p: float = 1.0,
         seed: int = 0,
+        return_topk: int = 0,
     ) -> tuple[list[GenerationOutput], np.ndarray, np.ndarray]:
         """Fused draft + inline stopping: the quality predictor and the DP
         rule run INSIDE the generation graph; the escalation flags arrive in
         the same device fetch as the tokens (no host round-trip in the
         decision path). Returns (outputs, escalate[B] bool, p_hat[B])."""
+        if return_topk and temperature <= 0.0:
+            return_topk = 0
         B = len(prompts)
         Bb = _bucket_batch(B)
         lens = [len(p) for p in prompts]
@@ -475,7 +623,7 @@ class TierEngine:
             for b in range(Bb):
                 tables[b] = self.allocator.alloc(f"{rid}_{b}", max_pages)
             t0 = time.perf_counter()
-            out_toks, out_lps, gen_len, escalate, p_hat, self.cache = (
+            out_toks, out_lps, gen_len, q_bufs, escalate, p_hat, self.cache = (
                 self._generate_policy_jit(
                     self.params,
                     jnp.asarray(tokens),
@@ -490,10 +638,11 @@ class TierEngine:
                     top_p=top_p,
                     eos_id=self.eos_id,
                     stage_index=stage_index,
+                    return_topk=return_topk,
                 )
             )
-            out_toks, out_lps, gen_len, escalate, p_hat = jax.device_get(
-                (out_toks, out_lps, gen_len, escalate, p_hat)
+            out_toks, out_lps, gen_len, q_bufs, escalate, p_hat = jax.device_get(
+                (out_toks, out_lps, gen_len, q_bufs, escalate, p_hat)
             )
             dt = time.perf_counter() - t0
         finally:
@@ -509,6 +658,8 @@ class TierEngine:
                     logprobs=out_lps[i, :n].copy(),
                     prefill_time_s=0.0,
                     decode_time_s=dt,
+                    topk_ids=q_bufs[0][i, :n].copy() if return_topk else None,
+                    topk_probs=q_bufs[1][i, :n].copy() if return_topk else None,
                 )
             )
         self.total_generated_tokens += int(gen_len[:B].sum())
@@ -525,10 +676,17 @@ class TierEngine:
         temperature: float = 0.0,
         top_p: float = 1.0,
         seed: int = 0,
+        draft_q: Optional[Sequence] = None,
     ) -> list[tuple[GenerationOutput, int]]:
         """Escalation entry: verify each draft in one parallel pass, keep the
         accepted prefix, decode the remainder. Returns per request
         (GenerationOutput over the FULL output window, accepted-prefix length).
+
+        ``draft_q``: optional per-request (logprobs [d], topk_ids [d, K],
+        topk_probs [d, K]) from the draft tier's ``return_topk`` generation.
+        With temperature > 0 and draft_q for every request, verification uses
+        the exact stochastic rejection rule (samples remain distributed as
+        this tier's own sampling); otherwise greedy argmax acceptance.
         """
         if len(prompts) != len(drafts):
             raise ValueError("prompts and drafts must align")
@@ -552,6 +710,23 @@ class TierEngine:
             [pl + dl for pl, dl in zip(p_lens, d_lens)] + [1] * (Bb - B), np.int32
         )
 
+        dq_args = ()
+        if (
+            temperature > 0.0
+            and draft_q is not None
+            and all(q is not None for q in draft_q)
+        ):
+            K = int(draft_q[0][1].shape[-1])
+            dlp = np.zeros((Bb, max_draft), np.float32)
+            qids = np.zeros((Bb, max_draft, K), np.int32)
+            qpr = np.zeros((Bb, max_draft, K), np.float32)
+            for i, (lp, ids, pr) in enumerate(draft_q):
+                d = d_lens[i]
+                dlp[i, :d] = np.asarray(lp, np.float32)[:d]
+                qids[i, :d] = np.asarray(ids, np.int32)[:d]
+                qpr[i, :d] = np.asarray(pr, np.float32)[:d]
+            dq_args = (jnp.asarray(dlp), jnp.asarray(qids), jnp.asarray(qpr))
+
         rid = f"ver{id(self)}_{time.monotonic_ns()}"
         tables = np.zeros((Bb, max_pages), np.int32)
         try:
@@ -567,6 +742,7 @@ class TierEngine:
                 self.cache,
                 jax.random.key(seed),
                 jnp.int32(max_new),
+                dq_args,
                 max_new=max_new_b,
                 max_draft=max_draft,
                 temperature=temperature,

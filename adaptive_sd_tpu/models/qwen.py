@@ -233,6 +233,21 @@ def quantize_model(
 
 
 
+def _embed(params: Params, spec: ModelSpec, tokens: jax.Array, tp_axis) -> jax.Array:
+    """Token-embedding gather. Under the shard_map TP path the table is
+    vocab-sharded [V/tp, H]: each shard gathers the rows it owns (masked),
+    one psum reassembles — exact, since exactly one shard contributes each
+    row. Replicated tables take the plain gather."""
+    table = params["embed"]
+    if tp_axis is not None and table.shape[0] != spec.vocab_size:
+        v_loc = table.shape[0]
+        loc = tokens - jax.lax.axis_index(tp_axis) * v_loc
+        ok = jnp.logical_and(loc >= 0, loc < v_loc)
+        rows = jnp.take(table, jnp.clip(loc, 0, v_loc - 1), axis=0)
+        return jax.lax.psum(jnp.where(ok[..., None], rows, 0), tp_axis)
+    return jnp.take(table, tokens, axis=0)
+
+
 def _qkv(spec: ModelSpec, layer, x, *, use_pallas: bool, act_quant: bool):
     """Q/K/V projections, fused (qkv_proj) or separate."""
     D = spec.head_dim
@@ -247,16 +262,21 @@ def _qkv(spec: ModelSpec, layer, x, *, use_pallas: bool, act_quant: bool):
     return q, k, v
 
 
-def _mlp(spec: ModelSpec, layer, x, *, use_pallas: bool, act_quant: bool):
-    """SwiGLU MLP, fused (gateup_proj) or separate."""
+def _mlp(spec: ModelSpec, layer, x, *, use_pallas: bool, act_quant: bool, tp_axis=None):
+    """SwiGLU MLP, fused (gateup_proj) or separate. Under TP (tp_axis set and
+    spec holding LOCAL head/ffn counts) gate/up are column-parallel, down is
+    row-parallel with one psum — the whole sublayer costs one all-reduce."""
     if "gateup_proj" in layer:
         gu = linear(x, layer["gateup_proj"], use_pallas=use_pallas, act_quant=act_quant)
         gate, up = gu[..., : spec.ffn], gu[..., spec.ffn :]
     else:
         gate = linear(x, layer["gate_proj"], use_pallas=use_pallas, act_quant=act_quant)
         up = linear(x, layer["up_proj"], use_pallas=use_pallas, act_quant=act_quant)
-    return linear(jax.nn.silu(gate) * up, layer["down_proj"],
-                  use_pallas=use_pallas, act_quant=act_quant)
+    out = linear(jax.nn.silu(gate) * up, layer["down_proj"],
+                 use_pallas=use_pallas, act_quant=act_quant)
+    if tp_axis is not None:
+        out = jax.lax.psum(out, tp_axis)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -287,13 +307,19 @@ def prefill(
     use_pallas: bool = True,
     act_quant: bool = False,
     return_hidden: bool = False,
+    tp_axis=None,
 ):
     """Process full prompts; returns (last-token logits [B, V] f32, cache)
     or, with ``return_hidden``, (logits, cache, final hidden states [B, S, H]
     pre-final-norm) — the speculative verifier computes per-position draft
-    logits from these (engine/decode.py)."""
+    logits from these (engine/decode.py).
+
+    ``tp_axis``: set when running INSIDE a shard_map tensor-parallel region
+    (models/qwen_tp.py). ``spec`` then carries LOCAL head/ffn counts (global
+    vocab), params/cache are per-shard views, and each sublayer finishes with
+    one psum over the axis; logits come back vocab-sharded."""
     B, S = tokens.shape
-    h = jnp.take(params["embed"], tokens, axis=0)
+    h = _embed(params, spec, tokens, tp_axis)
     positions = jnp.arange(S)[None, :].repeat(B, axis=0)  # [B, S]
     cos, sin = rope_tables(positions, spec.head_dim, spec.rope_theta)
     cos, sin = cos[:, :, None, :], sin[:, :, None, :]     # [B, S, 1, half]
@@ -308,12 +334,16 @@ def prefill(
 
         attn = prefill_attention(q, k, v, sm_scale=sm_scale, seq_lens=seq_lens)
         attn = attn.reshape(B, S, spec.n_heads * spec.head_dim)
-        h = h + linear(attn, layer["o_proj"], use_pallas=use_pallas, act_quant=act_quant)
+        attn_out = linear(attn, layer["o_proj"], use_pallas=use_pallas, act_quant=act_quant)
+        if tp_axis is not None:
+            attn_out = jax.lax.psum(attn_out, tp_axis)
+        h = h + attn_out
 
         cache = cache.write_prefill(li, k, v, block_tables, seq_lens)
 
         x = rms_norm(h, layer["post_norm"], spec.rms_eps)
-        h = h + _mlp(spec, layer, x, use_pallas=use_pallas, act_quant=act_quant)
+        h = h + _mlp(spec, layer, x, use_pallas=use_pallas, act_quant=act_quant,
+                     tp_axis=tp_axis)
 
     last = jnp.take_along_axis(h, (seq_lens - 1)[:, None, None], axis=1)[:, 0]  # [B, H]
     logits = _logits(params, spec, last, use_pallas=use_pallas, act_quant=act_quant)
@@ -337,10 +367,12 @@ def decode_step(
     *,
     use_pallas: bool = True,
     act_quant: bool = False,
+    tp_axis=None,
 ):
-    """One decode step for the whole batch; returns (logits [B, V] f32, cache)."""
+    """One decode step for the whole batch; returns (logits [B, V] f32, cache).
+    ``tp_axis``: see :func:`prefill` — shard_map TP mode."""
     B = tokens.shape[0]
-    h = jnp.take(params["embed"], tokens, axis=0)  # [B, H]
+    h = _embed(params, spec, tokens, tp_axis)  # [B, H]
     cos, sin = rope_tables(positions, spec.head_dim, spec.rope_theta)  # [B, half]
     seq_lens = positions + 1
     sm_scale = 1.0 / math.sqrt(spec.head_dim)
@@ -367,9 +399,13 @@ def decode_step(
             sm_scale=sm_scale,
         )
         attn = attn.reshape(B, spec.n_heads * spec.head_dim)
-        h = h + linear(attn, layer["o_proj"], use_pallas=use_pallas, act_quant=act_quant)
+        attn_out = linear(attn, layer["o_proj"], use_pallas=use_pallas, act_quant=act_quant)
+        if tp_axis is not None:
+            attn_out = jax.lax.psum(attn_out, tp_axis)
+        h = h + attn_out
 
         x = rms_norm(h, layer["post_norm"], spec.rms_eps)
-        h = h + _mlp(spec, layer, x, use_pallas=use_pallas, act_quant=act_quant)
+        h = h + _mlp(spec, layer, x, use_pallas=use_pallas, act_quant=act_quant,
+                     tp_axis=tp_axis)
 
     return _logits(params, spec, h, use_pallas=use_pallas, act_quant=act_quant), cache

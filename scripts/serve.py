@@ -67,7 +67,8 @@ def _synthetic_stages() -> StageManager:
         spec = dataclasses.replace(scaled_spec(TINY128, layers=layers, name=name))
         params = quantize_model(fuse_projections(init_params(spec, jax.random.key(i))), bits=8)
         eng = TierEngine(spec, params, n_pages=256, use_pallas=False, cost_per_token=cost)
-        stages.append(EngineTextStage(eng, simple_tok, simple_detok, name=name))
+        stages.append(EngineTextStage(eng, simple_tok, simple_detok, name=name,
+                                      spec_topk=0 if i == 2 else 64))
     return StageManager(stages)
 
 
@@ -88,7 +89,8 @@ def _real_stages(cascade_cfg_path: str) -> StageManager:
         raise SystemExit(f"transformers needed for real serving: {exc}")
 
     stages = []
-    for st in cfg.stages:
+    for si, st in enumerate(cfg.stages):
+        is_last = si == len(cfg.stages) - 1
         if not st.weights_path:
             raise SystemExit(
                 f"stage {st.name}: weights_path empty — use --mock/--synthetic "
@@ -113,6 +115,8 @@ def _real_stages(cascade_cfg_path: str) -> StageManager:
                 lambda ids, t=tok: t.decode(list(ids), skip_special_tokens=True),
                 name=st.name,
                 cost_per_token=st.cost_per_token,
+                # final tier's outputs are never verified downstream
+                spec_topk=0 if is_last else 64,
             )
         )
     return StageManager(stages)

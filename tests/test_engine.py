@@ -432,3 +432,105 @@ class TestFusedProjections:
         a = e1.generate([[5, 6, 7]], max_new=5)[0]
         b = e2.generate([[5, 6, 7]], max_new=5)[0]
         assert a.token_ids.tolist() == b.token_ids.tolist()
+
+
+class TestStochasticVerify:
+    """Temperature>0 speculative escalation: the draft carries its sampling
+    distribution (return_topk) and the verifier applies the exact rejection
+    rule (ops.sampling.speculative_accept) inside the verify graph."""
+
+    def _engine(self, params, **kw):
+        from adaptive_sd_tpu.models import TINY
+
+        return TierEngine(TINY, params, page_size=PAGE, n_pages=128,
+                          use_pallas=False, **kw)
+
+    def test_generate_returns_topk(self, tiny_params):
+        eng = self._engine(tiny_params)
+        out = eng.generate([[1, 2, 3]], max_new=5, temperature=0.8, top_p=0.95,
+                           return_topk=8)[0]
+        assert out.topk_ids.shape == (out.num_tokens, 8)
+        assert out.topk_probs.shape == (out.num_tokens, 8)
+        # probs sorted descending, each row sums <= 1, sampled token's prob
+        # consistent with its logprob
+        assert np.all(np.diff(out.topk_probs, axis=-1) <= 1e-6)
+        assert np.all(out.topk_probs.sum(-1) <= 1.0 + 1e-5)
+        assert np.all(out.topk_probs >= 0)
+
+    def test_topk_ignored_at_temperature_zero(self, tiny_params):
+        eng = self._engine(tiny_params)
+        out = eng.generate([[1, 2, 3]], max_new=4, temperature=0.0, return_topk=8)[0]
+        assert out.topk_ids is None and out.topk_probs is None
+
+    def test_self_verify_mostly_accepts(self, tiny_params):
+        """Verifying a draft from the SAME model/temperature: p ≈ q at every
+        position (small paged-int8-KV numeric drift aside), so the rejection
+        rule accepts nearly everything."""
+        eng = self._engine(tiny_params)
+        prompts = [[5, 9, 13], [7, 2, 21, 4], [3, 3, 8], [11, 1]]
+        fulls = eng.generate(prompts, max_new=8, temperature=1.0, seed=7,
+                             return_topk=TINY_VOCAB)
+        drafts = [f.token_ids.tolist() for f in fulls]
+        dq = [(f.logprobs, f.topk_ids, f.topk_probs) for f in fulls]
+        outs = eng.verify_continue(prompts, drafts, max_new=8, temperature=1.0,
+                                   seed=11, draft_q=dq)
+        total_acc = sum(n for _, n in outs)
+        total_draft = sum(len(d) for d in drafts)
+        assert total_acc >= 0.7 * total_draft, (total_acc, total_draft)
+        # and outputs continue past the accepted prefix up to max_new
+        for out, _ in outs:
+            assert out.num_tokens == 8
+
+    def test_stochastic_verify_differs_from_greedy_path(self, tiny_params):
+        """With draft_q provided the verify graph takes the stochastic branch;
+        results must still honour the accepted-prefix contract (accepted
+        tokens == draft prefix)."""
+        eng = self._engine(tiny_params)
+        prompt = [5, 9, 13]
+        full = eng.generate([prompt], max_new=6, temperature=0.9, seed=3,
+                            return_topk=TINY_VOCAB)[0]
+        draft = full.token_ids.tolist()
+        dq = [(full.logprobs, full.topk_ids, full.topk_probs)]
+        out, n_acc = eng.verify_continue([prompt], [draft], max_new=6,
+                                         temperature=0.9, seed=5, draft_q=dq)[0]
+        assert 0 <= n_acc <= len(draft)
+        assert out.token_ids[:n_acc].tolist() == draft[:n_acc]
+
+    def test_hopeless_draft_rejected_stochastically(self, tiny_params):
+        """A draft the target assigns ~zero probability must be rejected at
+        position 0 (q claims high confidence, p disagrees)."""
+        eng = self._engine(tiny_params)
+        prompt = [5, 9, 13]
+        # construct an adversarial draft_q: tokens chosen as the target's
+        # LEAST likely continuations, with q claiming prob ~1
+        ref = eng.generate([prompt], max_new=1, temperature=1.0, seed=0,
+                           return_topk=TINY_VOCAB)[0]
+        worst = int(ref.topk_ids[0, -1])  # least-likely token in the support
+        draft = [worst, worst, worst]
+        from adaptive_sd_tpu.models import TINY
+
+        K = TINY.vocab_size
+        lp = np.full((3,), np.log(0.999), np.float32)
+        ids = np.tile(np.arange(K, dtype=np.int32), (3, 1))
+        pr = np.full((3, K), 1e-6, np.float32)
+        pr[:, worst] = 0.999
+        accs = []
+        for seed in range(6):
+            _, n_acc = eng.verify_continue([prompt], [draft], max_new=6,
+                                           temperature=1.0, seed=seed,
+                                           draft_q=[(lp, ids, pr)])[0]
+            accs.append(n_acc)
+        assert np.mean(accs) < 1.0, accs
+
+
+TINY_VOCAB = 0  # set below from the spec
+
+
+def _set_tiny_vocab():
+    from adaptive_sd_tpu.models import TINY
+
+    global TINY_VOCAB
+    TINY_VOCAB = min(32, TINY.vocab_size)
+
+
+_set_tiny_vocab()

@@ -279,3 +279,131 @@ class TestGroupedInt4:
         w = jnp.asarray(rng.normal(size=(100, 64)).astype(np.float32))
         with pytest.raises(ValueError):
             quantize_int4(w, group_size=128)
+
+
+class TestSpeculativeAccept:
+    """Distribution-preservation checks for the stochastic rejection rule
+    (ops.sampling.speculative_accept)."""
+
+    @staticmethod
+    def _one_step(key, p_logits, q_logits, B, temperature=1.0, top_p=1.0):
+        """Run B independent single-draft-token speculative steps; return the
+        emitted first token per row."""
+        from adaptive_sd_tpu.ops.sampling import (
+            adjusted_logits,
+            sample_with_topk,
+            speculative_accept,
+        )
+
+        V = p_logits.shape[-1]
+        kd, ka = jax.random.split(jax.random.key(17))
+        q_rows = jnp.broadcast_to(q_logits, (B, V))
+        res, q_ids, q_probs = sample_with_topk(
+            q_rows, kd, k=V, temperature=temperature, top_p=top_p
+        )
+        draft = res.token[:, None]                        # [B, 1]
+        draft_lp = res.logprob[:, None]
+        t_adj = adjusted_logits(
+            jnp.broadcast_to(p_logits, (B, 2, V)), temperature, top_p
+        )
+        target_logp = jax.nn.log_softmax(t_adj, axis=-1)  # [B, 2, V]
+        n_acc, nxt, _ = speculative_accept(
+            ka,
+            draft,
+            draft_lp,
+            q_ids[:, None, :],
+            q_probs[:, None, :],
+            target_logp,
+            jnp.ones((B,), jnp.int32),
+        )
+        emitted = jnp.where(n_acc >= 1, draft[:, 0], nxt)
+        return np.asarray(emitted), np.asarray(n_acc)
+
+    def test_preserves_target_marginal(self):
+        V, B = 16, 60000
+        rng = np.random.default_rng(3)
+        p_logits = jnp.asarray(rng.normal(0, 1.5, V), jnp.float32)
+        q_logits = jnp.asarray(rng.normal(0, 1.5, V), jnp.float32)
+        emitted, n_acc = self._one_step(jax.random.key(0), p_logits, q_logits, B)
+        p = np.asarray(jax.nn.softmax(p_logits))
+        hist = np.bincount(emitted, minlength=V) / B
+        tv = 0.5 * np.abs(hist - p).sum()
+        assert tv < 0.02, f"total variation {tv:.4f} vs target"
+        # and the draft must actually be useful (some acceptance)
+        assert 0.05 < n_acc.mean() < 1.0
+
+    def test_identical_distributions_accept_everything(self):
+        from adaptive_sd_tpu.ops.sampling import speculative_accept
+
+        V, B, D = 8, 512, 4
+        rng = np.random.default_rng(4)
+        logits = jnp.asarray(rng.normal(0, 1, V), jnp.float32)
+        logp = jax.nn.log_softmax(logits)
+        draft = jnp.asarray(rng.integers(0, V, (B, D)), jnp.int32)
+        draft_lp = jnp.take_along_axis(
+            jnp.broadcast_to(logp, (B, D, V)), draft[..., None], axis=-1
+        )[..., 0]
+        q_ids = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32), (B, D, V))
+        q_probs = jnp.broadcast_to(jnp.exp(logp), (B, D, V))
+        target_logp = jnp.broadcast_to(logp, (B, D + 1, V))
+        n_acc, _, _ = speculative_accept(
+            jax.random.key(1), draft, draft_lp, q_ids, q_probs, target_logp,
+            jnp.full((B,), D, jnp.int32),
+        )
+        assert np.all(np.asarray(n_acc) == D)
+
+    def test_impossible_draft_always_rejected(self):
+        from adaptive_sd_tpu.ops.sampling import speculative_accept
+
+        V, B = 8, 256
+        # target puts ~zero mass on token 0; draft always proposes token 0
+        p_logits = jnp.asarray([-40.0] + [1.0] * (V - 1), jnp.float32)
+        target_logp = jnp.broadcast_to(jax.nn.log_softmax(p_logits), (B, 2, V))
+        draft = jnp.zeros((B, 1), jnp.int32)
+        draft_lp = jnp.full((B, 1), np.log(0.9), jnp.float32)
+        q_probs = np.zeros((B, 1, V), np.float32)
+        q_probs[:, :, 0] = 0.9
+        q_probs[:, :, 1] = 0.1
+        q_ids = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32), (B, 1, V))
+        n_acc, nxt, _ = speculative_accept(
+            jax.random.key(2), draft, draft_lp, q_ids, jnp.asarray(q_probs),
+            target_logp, jnp.ones((B,), jnp.int32),
+        )
+        assert np.all(np.asarray(n_acc) == 0)
+        assert np.all(np.asarray(nxt) != 0)
+
+    def test_draft_len_bounds_acceptance(self):
+        from adaptive_sd_tpu.ops.sampling import speculative_accept
+
+        V, B, D = 8, 64, 6
+        logp = jax.nn.log_softmax(jnp.zeros((V,), jnp.float32))
+        draft = jnp.zeros((B, D), jnp.int32)
+        draft_lp = jnp.broadcast_to(logp[0], (B, D))
+        q_ids = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32), (B, D, V))
+        q_probs = jnp.broadcast_to(jnp.exp(logp), (B, D, V))
+        target_logp = jnp.broadcast_to(logp, (B, D + 1, V))
+        lens = jnp.asarray(np.arange(B) % (D + 1), jnp.int32)
+        n_acc, _, _ = speculative_accept(
+            jax.random.key(3), draft, draft_lp, q_ids, q_probs, target_logp, lens
+        )
+        assert np.all(np.asarray(n_acc) == np.asarray(lens))
+
+    def test_sample_with_topk_matches_sample_distribution(self):
+        from adaptive_sd_tpu.ops.sampling import sample_with_topk
+
+        logits = jnp.asarray(
+            np.random.default_rng(5).normal(0, 2, (4, 32)), jnp.float32
+        )
+        res, ids, probs = sample_with_topk(
+            logits, jax.random.key(9), k=8, temperature=0.7, top_p=0.9
+        )
+        # top-k probs are sorted descending and sum to <= 1
+        p = np.asarray(probs)
+        assert np.all(np.diff(p, axis=-1) <= 1e-6)
+        assert np.all(p.sum(-1) <= 1.0 + 1e-5)
+        # sampled token's logprob matches the adjusted distribution
+        from adaptive_sd_tpu.ops.sampling import adjusted_logits
+
+        logp = jax.nn.log_softmax(adjusted_logits(logits, 0.7, 0.9), axis=-1)
+        ref = np.take_along_axis(np.asarray(logp), np.asarray(res.token)[:, None], 1)[:, 0]
+        assert np.allclose(np.asarray(res.logprob), ref, atol=1e-5)
