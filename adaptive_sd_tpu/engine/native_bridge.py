@@ -50,6 +50,22 @@ def load_native() -> Optional[ctypes.CDLL]:
     lib.asd_alloc_free_request.restype = ctypes.c_int64
     lib.asd_alloc_free_request.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.asd_alloc_stats.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
+    lib.asd_lanes_create.restype = ctypes.c_void_p
+    lib.asd_lanes_create.argtypes = [ctypes.c_int64, ctypes.c_int64]
+    lib.asd_lanes_destroy.argtypes = [ctypes.c_void_p]
+    lib.asd_lanes_admit.restype = ctypes.c_int64
+    lib.asd_lanes_admit.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+    ]
+    lib.asd_lanes_release.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.asd_lanes_step_prepare.restype = ctypes.c_int64
+    lib.asd_lanes_step_prepare.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.asd_lanes_advance.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32]
     _lib = lib
     return _lib
 
@@ -132,6 +148,73 @@ class NativePageAllocator:
             peak_used=int(out[3]),
             failed_allocs=int(out[4]),
         )
+
+
+class NativeLanes:
+    """C++ lane bookkeeping for the continuous-batching scheduler: dense
+    per-lane (busy, position, generated, budget, next_token) state with a
+    single-pass step_prepare scan (native/allocator.cc asd_lanes_*)."""
+
+    def __init__(self, n_lanes: int, page_size: int) -> None:
+        lib = load_native()
+        if lib is None:
+            raise RuntimeError("native library not built; run native/build.sh")
+        self._lib = lib
+        self.n = n_lanes
+        self._h = lib.asd_lanes_create(n_lanes, page_size)
+        if not self._h:
+            raise RuntimeError("native lanes creation failed")
+
+    def __del__(self) -> None:  # pragma: no cover - gc timing
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.asd_lanes_destroy(h)
+            self._h = None
+
+    def admit(self, position: int, budget: int, next_token: int) -> int:
+        """Claim the lowest free lane (same order as the Python scheduler's
+        free-list scan); returns lane id or -1."""
+        return int(self._lib.asd_lanes_admit(self._h, position, budget, next_token))
+
+    def release(self, lane: int) -> None:
+        self._lib.asd_lanes_release(self._h, lane)
+
+    def step_prepare(self, eos: Optional[int]):
+        """One scan: returns (finished_lanes, active_lanes, tokens, positions,
+        needs_pages) — the per-step bookkeeping the Python path does in a
+        loop."""
+        n = self.n
+        finished = (ctypes.c_int32 * n)()
+        nf = ctypes.c_int64(0)
+        active = (ctypes.c_int32 * n)()
+        tokens = (ctypes.c_int32 * n)()
+        positions = (ctypes.c_int32 * n)()
+        needs = (ctypes.c_uint8 * n)()
+        na = int(
+            self._lib.asd_lanes_step_prepare(
+                self._h, -1 if eos is None else eos, finished,
+                ctypes.byref(nf), active, tokens, positions, needs,
+            )
+        )
+        f = list(finished[: nf.value])
+        return (
+            f,
+            list(active[:na]),
+            list(tokens[:na]),
+            list(positions[:na]),
+            list(needs[:na]),
+        )
+
+    def advance(self, lane: int, token: int) -> None:
+        self._lib.asd_lanes_advance(self._h, lane, token)
+
+
+def make_lanes(n_lanes: int, page_size: int, prefer_native: bool = True):
+    """Factory: native lane bookkeeping when built, None otherwise (the
+    scheduler then uses its Python scan)."""
+    if prefer_native and native_available():
+        return NativeLanes(n_lanes, page_size)
+    return None
 
 
 def make_page_allocator(n_pages: int, prefer_native: bool = True):

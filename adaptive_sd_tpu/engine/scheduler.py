@@ -11,9 +11,14 @@ continuous batching scheduler"). Design:
   step. No request waits for the batch to drain — the vLLM property.
 * Pages come from the shared PageAllocator and grow one page ahead of the
   write position (``ensure``).
-* The hot bookkeeping (lane scan, page-table assembly) has a C++ twin in
-  native/scheduler.cc used when built (see native/build.sh); the Python path
-  is always available and behaviourally identical.
+* Each step is ONE device dispatch: the decode forward and the per-lane
+  temperature sampling run in a single fused graph
+  (TierEngine.decode_sample_batch), and only [B]-sized token/logprob arrays
+  come back to the host — this matters doubly through the ~0.7 ms TPU
+  tunnel (previously: one decode dispatch + one sampling dispatch per lane).
+* The hot bookkeeping (per-lane done/token/position scan) runs in the C++
+  lane table (native/allocator.cc ``asd_lanes_*``) when the native library
+  is built; the Python scan is behaviourally identical and always available.
 """
 
 from __future__ import annotations
@@ -25,11 +30,9 @@ from dataclasses import dataclass, field
 from typing import Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..core.exceptions import ResourceError
-from ..ops.sampling import sample
 from .decode import PAD_ID, TierEngine, _bucket_len
 
 
@@ -81,6 +84,11 @@ class ContinuousBatchingScheduler:
         self._thread: Optional[threading.Thread] = None
         self.steps = 0
         self.completed = 0
+        from .native_bridge import make_lanes
+
+        # C++ lane table mirror (None -> Python scan). Lane choice stays in
+        # Python (lowest-free order matches the C++ admit scan; asserted).
+        self._nlanes = make_lanes(max_batch, self.page)
 
     # -------------------------------------------------------------- frontend
     def submit(
@@ -150,21 +158,19 @@ class ContinuousBatchingScheduler:
                 req._event.set()
             return 0
 
-        logits = self.engine.prefill_batch(
-            jnp.asarray(tokens), jnp.asarray(seq_lens), jnp.asarray(tables)
-        )
         # fold_in(1) keeps admission keys disjoint from the decode-step keys
-        keys = jax.random.split(
-            jax.random.fold_in(jax.random.key(self.steps), 1), n
-        )
+        key = jax.random.fold_in(jax.random.key(self.steps), 1)
+        temps = np.asarray([r.temperature for _, r in batch], np.float32)
+        toks, lps = self.engine.prefill_sample_batch(tokens, seq_lens, tables, temps, key)
         for row, (lane, req) in enumerate(batch):
-            temp = req.temperature
-            res = sample(logits[row : row + 1], keys[row], temperature=temp)
-            req.next_token = int(res.token[0])
+            req.next_token = int(toks[row])
             req.out_tokens.append(req.next_token)
-            req.out_logprobs.append(float(res.logprob[0]))
+            req.out_logprobs.append(float(lps[row]))
             req.position = len(req.prompt)
             self._lanes[lane] = req
+            if self._nlanes is not None:
+                got = self._nlanes.admit(req.position, req.max_new, req.next_token)
+                assert got == lane, f"native lane table diverged: {got} != {lane}"
         return n
 
     def _retire(self, lane: int, req: SchedRequest, error: Optional[str] = None) -> None:
@@ -174,54 +180,75 @@ class ContinuousBatchingScheduler:
         self.engine.allocator.free_request(req.request_id)
         self._tables[lane, :] = self._oob_page  # stale rows must not alias
         self._lanes[lane] = None
+        if self._nlanes is not None:
+            self._nlanes.release(lane)
         self.completed += 1
         req._event.set()
 
-    def step(self) -> int:
-        """One scheduler iteration: admit, then one decode step for all
-        occupied lanes. Returns the number of active lanes stepped."""
-        self._admit()
-        active = [(i, r) for i, r in enumerate(self._lanes) if r is not None]
-        if not active:
-            return 0
-
-        # Check budgets/eos BEFORE stepping (the sampled token may finish one).
+    def _scan(self) -> list[tuple[int, SchedRequest, bool]]:
+        """Per-step lane scan: retire finished lanes (budget/eos), return
+        [(lane, request, needs_new_page)] for the lanes to step. Native C++
+        table when built, identical Python loop otherwise."""
+        if self._nlanes is not None:
+            finished, active, _toks, _pos, needs = self._nlanes.step_prepare(
+                self.engine.eos_id
+            )
+            for lane in finished:
+                req = self._lanes[lane]
+                if req is not None:
+                    self._retire(lane, req)
+            return [
+                (lane, self._lanes[lane], bool(np_))
+                for lane, np_ in zip(active, needs)
+                if self._lanes[lane] is not None
+            ]
         still = []
-        for lane, req in active:
+        for lane, req in enumerate(self._lanes):
+            if req is None:
+                continue
             if len(req.out_tokens) >= req.max_new or (
                 self.engine.eos_id is not None and req.next_token == self.engine.eos_id
             ):
                 self._retire(lane, req)
             else:
-                still.append((lane, req))
+                still.append((lane, req, ((req.position + 1) % self.page) == 0))
+        return still
+
+    def step(self) -> int:
+        """One scheduler iteration: admit, then ONE fused decode+sample
+        dispatch for all occupied lanes. Returns the number of lanes
+        stepped."""
+        self._admit()
+        # Check budgets/eos BEFORE stepping (the sampled token may finish one).
+        still = self._scan()
         if not still:
             return 0
 
         tokens = np.full((self.max_batch,), PAD_ID, np.int32)
         positions = np.zeros((self.max_batch,), np.int32)
-        for lane, req in still:
-            # grow pages one ahead of the write position
-            needed = min((req.position + 1) // self.page + 1, self.max_pages)
-            pages = self.engine.allocator.ensure(req.request_id, needed)
-            self._tables[lane, : len(pages)] = pages
+        temps = np.zeros((self.max_batch,), np.float32)
+        for lane, req, needs_page in still:
+            if needs_page:
+                # crossing a page boundary next write: grow one page ahead
+                # (admission pre-allocated through the first boundary)
+                needed = min((req.position + 1) // self.page + 1, self.max_pages)
+                pages = self.engine.allocator.ensure(req.request_id, needed)
+                self._tables[lane, : len(pages)] = pages
             tokens[lane] = req.next_token
             positions[lane] = req.position
+            temps[lane] = req.temperature
 
-        logits = self.engine.decode_batch(
-            jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(self._tables)
-        )
         self.steps += 1
-        key = jax.random.key(self.steps)
-        keys = jax.random.split(key, self.max_batch)
-        logits_np = logits  # stays on device; sample per lane below
-        for lane, req in still:
-            res = sample(
-                logits_np[lane : lane + 1], keys[lane], temperature=req.temperature
-            )
-            req.next_token = int(res.token[0])
+        toks, lps = self.engine.decode_sample_batch(
+            tokens, positions, self._tables, temps, jax.random.key(self.steps)
+        )
+        for lane, req, _ in still:
+            req.next_token = int(toks[lane])
             req.out_tokens.append(req.next_token)
-            req.out_logprobs.append(float(res.logprob[0]))
+            req.out_logprobs.append(float(lps[lane]))
             req.position += 1
+            if self._nlanes is not None:
+                self._nlanes.advance(lane, req.next_token)
         return len(still)
 
     # ------------------------------------------------------------------ loop

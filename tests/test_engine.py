@@ -276,6 +276,46 @@ class TestContinuousBatchingScheduler:
         with pytest.raises(ResourceError):
             sched.submit(list(range(1, 30)), max_new=16)
 
+    def test_native_and_python_lanes_agree(self, tiny_params):
+        """The C++ lane table and the Python scan must schedule
+        identically (same admissions, same outputs) under staggered load."""
+        from adaptive_sd_tpu.engine.scheduler import ContinuousBatchingScheduler
+        from adaptive_sd_tpu.engine import native_bridge
+
+        def run(force_python):
+            eng = self._engine(tiny_params)
+            sched = ContinuousBatchingScheduler(eng, max_batch=2, max_context=64)
+            if force_python:
+                sched._nlanes = None
+            a = sched.submit([1, 2], max_new=5)
+            sched.step()
+            b = sched.submit([7, 8, 9], max_new=4)
+            c = sched.submit([4, 4], max_new=3)
+            sched.run_until_idle()
+            return [a.out_tokens, b.out_tokens, c.out_tokens]
+
+        py = run(True)
+        if not native_bridge.native_available():
+            pytest.skip("native library not built")
+        nat = run(False)
+        assert py == nat
+
+    def test_mixed_temperature_lanes(self, tiny_params):
+        """Greedy and sampling requests share a batch: greedy lanes must
+        be unaffected by sampling lanes (per-row temperature in the fused
+        decode+sample graph)."""
+        from adaptive_sd_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+        eng = self._engine(tiny_params)
+        expected = eng.generate([[3, 14, 15]], max_new=5)[0].token_ids.tolist()
+        sched = ContinuousBatchingScheduler(eng, max_batch=4, max_context=64)
+        g = sched.submit([3, 14, 15], max_new=5, temperature=0.0)
+        s1 = sched.submit([9, 2, 6], max_new=5, temperature=1.0)
+        s2 = sched.submit([5, 5], max_new=5, temperature=0.7)
+        sched.run_until_idle()
+        assert g.out_tokens == expected
+        assert len(s1.out_tokens) == 5 and len(s2.out_tokens) == 5
+
 
 class TestStreaming:
     def test_stream_matches_fused(self, tiny_params):
