@@ -148,6 +148,9 @@ class EngineTextStage:
             temperature=temperature,
             top_p=top_p,
             draft_q=drafts_q,
+            # carry our own top-K support so a later tier can verify these
+            # outputs stochastically too (exact 3+ tier chains)
+            return_topk=self.spec_topk,
         )
         dt = time.perf_counter() - t0
         results = []
@@ -163,6 +166,8 @@ class EngineTextStage:
                     tokens_per_second=out.num_tokens / dt if dt > 0 else 0.0,
                     stage_name=self.name,
                     finish_reason=f"spec_accepted={n_acc}",
+                    draft_topk_ids=out.topk_ids,
+                    draft_topk_probs=out.topk_probs,
                 )
             )
         return results

@@ -187,6 +187,13 @@ def _make_verify_continue_fn(spec: ModelSpec, fwd):
         temperature,
         top_p,
         eos_id,
+        return_topk=0, # static; carry this tier's OWN top-K support on the
+                       # outputs so a later tier can stochastically verify
+                       # them in turn (3+ tier chains stay exact). Emitted
+                       # tokens are marginally ~ this tier's adjusted
+                       # distribution (the rejection-rule theorem), so q for
+                       # the next verifier is top-K of logp_t per slot.
+                       # Only meaningful on the stochastic path (draft_q).
     ):
         B, S = tokens.shape
         _, cache, h = fwd.prefill(
@@ -222,6 +229,9 @@ def _make_verify_continue_fn(spec: ModelSpec, fwd):
             draft_lp = jnp.take_along_axis(
                 logp_t[:, :max_draft], draft[:, :, None], axis=2
             )[:, :, 0]
+            if return_topk:
+                w_lp, w_ids = jax.lax.top_k(logp_t, return_topk)  # [B, Dw+1, K]
+                w_probs = jnp.exp(w_lp)
         else:
             # Greedy acceptance: longest prefix where this model's argmax
             # equals the draft token.
@@ -259,6 +269,22 @@ def _make_verify_continue_fn(spec: ModelSpec, fwd):
         from ..ops.sampling import SampleResult
 
         first = SampleResult(bonus_tok, bonus_lp)
+        if return_topk:
+            # window slots j <= n_acc (accepted prefix + bonus) carry the
+            # verifier's own adjusted-distribution top-K at that position
+            padw = max(max_new - (max_draft + 1), 0)
+            wi = jnp.pad(w_ids, ((0, 0), (0, padw), (0, 0)))[:, :max_new]
+            wp = jnp.pad(w_probs, ((0, 0), (0, padw), (0, 0)))[:, :max_new]
+            in_window = (jnp.arange(max_new)[None, :] <= n_acc[:, None])[..., None]
+            q_bufs = (
+                jnp.where(in_window, wi, 0).astype(jnp.int32),
+                jnp.where(in_window, wp, 0.0).astype(jnp.float32),
+            )
+            # q support for the bonus token itself (sampled from the residual
+            # but marginally ~ p): already covered by slot n_acc above.
+            q_cur = ()
+        else:
+            q_bufs = ()
         active = jnp.ones((B,), bool)
         gen_len = n_acc
         wr = n_acc  # next write slot; bonus goes here
@@ -268,13 +294,14 @@ def _make_verify_continue_fn(spec: ModelSpec, fwd):
             return jnp.logical_and(jnp.any(active), jnp.any(wr < budget))
 
         def body(state):
-            tok, active, wr, cache, out_toks, out_lps, gen_len, key = state
+            tok, active, wr, cache, out_toks, out_lps, q_bufs, gen_len, key = state
             can_write = jnp.logical_and(active, wr < budget)
-            out_toks = out_toks.at[jnp.arange(B), jnp.clip(wr, 0, max_new - 1)].set(
-                jnp.where(can_write, tok.token, out_toks[jnp.arange(B), jnp.clip(wr, 0, max_new - 1)])
+            wrc = jnp.clip(wr, 0, max_new - 1)
+            out_toks = out_toks.at[jnp.arange(B), wrc].set(
+                jnp.where(can_write, tok.token, out_toks[jnp.arange(B), wrc])
             )
-            out_lps = out_lps.at[jnp.arange(B), jnp.clip(wr, 0, max_new - 1)].set(
-                jnp.where(can_write, tok.logprob, out_lps[jnp.arange(B), jnp.clip(wr, 0, max_new - 1)])
+            out_lps = out_lps.at[jnp.arange(B), wrc].set(
+                jnp.where(can_write, tok.logprob, out_lps[jnp.arange(B), wrc])
             )
             gen_len = gen_len + can_write.astype(jnp.int32)
             if eos_id is not None:
@@ -283,12 +310,33 @@ def _make_verify_continue_fn(spec: ModelSpec, fwd):
             positions = prompt_lens + wr  # position of the token being fed
             logits, cache = fwd.decode_step(params, spec, tok.token, positions, cache, block_tables)
             key, kk = jax.random.split(key)
-            nxt = sample(logits, kk, temperature=temperature, top_p=top_p)
-            return (nxt, active, wr + 1, cache, out_toks, out_lps, gen_len, key)
+            if return_topk:
+                from ..ops.sampling import sample_with_topk
 
-        state = (first, active, wr, cache, out_toks, out_lps, gen_len, key)
-        _, _, _, cache, out_toks, out_lps, gen_len, _ = jax.lax.while_loop(cond, body, state)
-        return out_toks, out_lps, gen_len, n_acc, cache
+                nxt, nqi, nqp = sample_with_topk(
+                    logits, kk, return_topk, temperature, top_p
+                )
+                # the NEXT loop iteration writes nxt at slot wr+1; stage its
+                # q row there now (overwritten only if that write happens)
+                qi_b, qp_b = q_bufs
+                nwrc = jnp.clip(wr + 1, 0, max_new - 1)
+                will_write = jnp.logical_and(active, wr + 1 < budget)[:, None]
+                qi_b = qi_b.at[jnp.arange(B), nwrc].set(
+                    jnp.where(will_write, nqi, qi_b[jnp.arange(B), nwrc])
+                )
+                qp_b = qp_b.at[jnp.arange(B), nwrc].set(
+                    jnp.where(will_write, nqp, qp_b[jnp.arange(B), nwrc])
+                )
+                q_bufs = (qi_b, qp_b)
+            else:
+                nxt = sample(logits, kk, temperature=temperature, top_p=top_p)
+            return (nxt, active, wr + 1, cache, out_toks, out_lps, q_bufs, gen_len, key)
+
+        state = (first, active, wr, cache, out_toks, out_lps, q_bufs, gen_len, key)
+        _, _, _, cache, out_toks, out_lps, q_bufs, gen_len, _ = jax.lax.while_loop(
+            cond, body, state
+        )
+        return out_toks, out_lps, gen_len, n_acc, q_bufs, cache
 
     return fn
 
@@ -379,7 +427,8 @@ class TierEngine:
         self._verify_raw = _make_verify_continue_fn(spec, fwd)
         self._verify_jit = jax.jit(
             self._verify_raw,
-            static_argnames=("max_new", "max_draft", "temperature", "top_p", "eos_id"),
+            static_argnames=("max_new", "max_draft", "temperature", "top_p",
+                             "eos_id", "return_topk"),
             donate_argnums=(5,) if donate_cache else (),
         )
 
@@ -677,6 +726,7 @@ class TierEngine:
         top_p: float = 1.0,
         seed: int = 0,
         draft_q: Optional[Sequence] = None,
+        return_topk: int = 0,
     ) -> list[tuple[GenerationOutput, int]]:
         """Escalation entry: verify each draft in one parallel pass, keep the
         accepted prefix, decode the remainder. Returns per request
@@ -687,6 +737,10 @@ class TierEngine:
         With temperature > 0 and draft_q for every request, verification uses
         the exact stochastic rejection rule (samples remain distributed as
         this tier's own sampling); otherwise greedy argmax acceptance.
+
+        ``return_topk`` (stochastic path only): outputs carry THIS tier's
+        top-K support per emitted token, so a later tier can verify them
+        stochastically in turn (exact 3+ tier chains).
         """
         if len(prompts) != len(drafts):
             raise ValueError("prompts and drafts must align")
@@ -726,6 +780,8 @@ class TierEngine:
                 qids[i, :d] = np.asarray(ids, np.int32)[:d]
                 qpr[i, :d] = np.asarray(pr, np.float32)[:d]
             dq_args = (jnp.asarray(dlp), jnp.asarray(qids), jnp.asarray(qpr))
+        if not dq_args:
+            return_topk = 0  # only the stochastic path emits exact q support
 
         rid = f"ver{id(self)}_{time.monotonic_ns()}"
         tables = np.zeros((Bb, max_pages), np.int32)
@@ -733,7 +789,7 @@ class TierEngine:
             for b in range(Bb):
                 tables[b] = self.allocator.alloc(f"{rid}_{b}", max_pages)
             t0 = time.perf_counter()
-            out_toks, out_lps, gen_len, n_acc, self.cache = self._verify_jit(
+            out_toks, out_lps, gen_len, n_acc, q_bufs, self.cache = self._verify_jit(
                 self.params,
                 jnp.asarray(tokens),
                 jnp.asarray(prompt_lens),
@@ -748,9 +804,10 @@ class TierEngine:
                 temperature=temperature,
                 top_p=top_p,
                 eos_id=self.eos_id,
+                return_topk=return_topk,
             )
-            out_toks, out_lps, gen_len, n_acc = jax.device_get(
-                (out_toks, out_lps, gen_len, n_acc)
+            out_toks, out_lps, gen_len, n_acc, q_bufs = jax.device_get(
+                (out_toks, out_lps, gen_len, n_acc, q_bufs)
             )
             dt = time.perf_counter() - t0
         finally:
@@ -767,6 +824,8 @@ class TierEngine:
                         logprobs=out_lps[i, :n].copy(),
                         prefill_time_s=0.0,
                         decode_time_s=dt,
+                        topk_ids=q_bufs[0][i, :n].copy() if return_topk else None,
+                        topk_probs=q_bufs[1][i, :n].copy() if return_topk else None,
                     ),
                     int(n_acc[i]),
                 )

@@ -563,6 +563,69 @@ class TestStochasticVerify:
         assert np.mean(accs) < 1.0, accs
 
 
+class TestChainedStochasticVerify:
+    """Verify outputs carry their own top-K support (return_topk on the
+    stochastic path), so a THIRD tier can verify them stochastically — the
+    emitted tokens are marginally ~ the verifier's adjusted distribution, so
+    its logp_t top-K rows are the exact q for the next rejection test."""
+
+    def test_verify_output_carries_topk(self, tiny_params):
+        eng = TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=128,
+                         use_pallas=False)
+        prompt = [5, 9, 13]
+        K = min(32, TINY.vocab_size)
+        full = eng.generate([prompt], max_new=6, temperature=1.0, seed=7,
+                            return_topk=K)[0]
+        dq = [(full.logprobs, full.topk_ids, full.topk_probs)]
+        out, n_acc = eng.verify_continue(
+            [prompt], [full.token_ids.tolist()], max_new=6, temperature=1.0,
+            seed=11, draft_q=dq, return_topk=K,
+        )[0]
+        assert out.topk_ids is not None and out.topk_ids.shape == (out.num_tokens, K)
+        assert out.topk_probs is not None
+        # rows are valid distributions' top-K: descending, sum <= 1
+        assert np.all(out.topk_probs >= 0)
+        assert np.all(out.topk_probs.sum(-1) <= 1.0 + 1e-5)
+        # accepted-prefix rows must be the verifier's own adjusted top-K,
+        # hence contain the emitted token for in-support tokens
+        for j in range(min(int(n_acc), out.num_tokens)):
+            if out.topk_probs[j].sum() > 0.99:  # full support captured
+                assert out.token_ids[j] in out.topk_ids[j]
+
+    def test_three_tier_chain_runs(self, tiny_params):
+        engs = [TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=128,
+                           use_pallas=False) for _ in range(3)]
+        prompt = [7, 2, 21, 4]
+        K = min(32, TINY.vocab_size)
+        d0 = engs[0].generate([prompt], max_new=6, temperature=0.8, seed=1,
+                              return_topk=K)[0]
+        v1, n1 = engs[1].verify_continue(
+            [prompt], [d0.token_ids.tolist()], max_new=6, temperature=0.8,
+            seed=2, draft_q=[(d0.logprobs, d0.topk_ids, d0.topk_probs)],
+            return_topk=K,
+        )[0]
+        # same weights -> tier 1 accepts most of tier 0's draft
+        assert n1 >= 3
+        v2, n2 = engs[2].verify_continue(
+            [prompt], [v1.token_ids.tolist()], max_new=6, temperature=0.8,
+            seed=3, draft_q=[(v1.logprobs, v1.topk_ids, v1.topk_probs)],
+        )[0]
+        assert 0 <= n2 <= v1.num_tokens
+        assert v2.token_ids[:n2].tolist() == v1.token_ids.tolist()[:n2]
+        # identical weights again: acceptance should be high
+        assert n2 >= 3
+
+    def test_greedy_verify_has_no_topk(self, tiny_params):
+        eng = TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=128,
+                         use_pallas=False)
+        prompt = [5, 9, 13]
+        full = eng.generate([prompt], max_new=6)[0]
+        out, _ = eng.verify_continue(
+            [prompt], [full.token_ids[:3].tolist()], max_new=6, return_topk=8
+        )[0]
+        assert out.topk_ids is None  # greedy path emits no q support
+
+
 TINY_VOCAB = 0  # set below from the spec
 
 
