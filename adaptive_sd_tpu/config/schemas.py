@@ -33,6 +33,7 @@ class StageConfig(BaseConfig):
     n_pages: int = 512
     max_batch: int = 64
     quality_range: tuple[float, float] = (0.0, 1.0)
+    prefix_cache: bool = True          # content-addressed KV prefix reuse
 
     def validate(self) -> None:
         if self.bits not in (4, 8, 16):

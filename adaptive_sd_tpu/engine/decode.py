@@ -51,6 +51,8 @@ def _default_fwd(use_pallas: bool, act_quant: bool):
     """Single-device / GSPMD forward triple. The shard_map tensor-parallel
     path (models/qwen_tp.make_tp_forward) provides the same interface, so
     every generation graph below is parallelism-agnostic."""
+    from ..models.qwen import prefill_window
+
     return SimpleNamespace(
         prefill=functools.partial(prefill, use_pallas=use_pallas, act_quant=act_quant),
         decode_step=functools.partial(
@@ -59,7 +61,62 @@ def _default_fwd(use_pallas: bool, act_quant: bool):
         logits_at=functools.partial(
             logits_at, use_pallas=use_pallas, act_quant=act_quant
         ),
+        prefill_window=functools.partial(
+            prefill_window, use_pallas=use_pallas, act_quant=act_quant
+        ),
     )
+
+
+def _decode_loop(params, spec, fwd, *, first, q_cur, q_bufs, seq_lens, cache,
+                 block_tables, key, budget, max_new, temperature, top_p,
+                 eos_id, return_topk):
+    """Shared while-loop decode tail: write sampled tokens (and optional
+    top-K support rows) until budget/eos. ``seq_lens`` are the per-row
+    context lengths when the first token was sampled."""
+    B = seq_lens.shape[0]
+    out_toks = jnp.full((B, max_new), PAD_ID, jnp.int32)
+    out_lps = jnp.zeros((B, max_new), jnp.float32)
+    active = jnp.ones((B,), bool)
+    gen_len = jnp.zeros((B,), jnp.int32)
+
+    def cond(state):
+        i, _, _, active, *_ = state
+        return jnp.logical_and(i < max_new, jnp.any(active))
+
+    def body(state):
+        i, tok, q_cur, active, cache, out_toks, out_lps, q_bufs, gen_len, key = state
+        writing = jnp.logical_and(active, i < budget)
+        out_toks = out_toks.at[:, i].set(jnp.where(writing, tok.token, PAD_ID))
+        out_lps = out_lps.at[:, i].set(jnp.where(writing, tok.logprob, 0.0))
+        if return_topk:
+            qi, qp = q_cur
+            q_bufs = (
+                q_bufs[0].at[:, i].set(jnp.where(writing[:, None], qi, 0)),
+                q_bufs[1].at[:, i].set(jnp.where(writing[:, None], qp, 0.0)),
+            )
+        gen_len = gen_len + writing.astype(jnp.int32)
+        if eos_id is not None:
+            active = jnp.logical_and(active, tok.token != eos_id)
+        active = jnp.logical_and(active, i + 1 < budget)
+        positions = seq_lens + i  # position of the token being fed
+        logits, cache = fwd.decode_step(params, spec, tok.token, positions, cache, block_tables)
+        key, kk = jax.random.split(key)
+        if return_topk:
+            from ..ops.sampling import sample_with_topk
+
+            nxt, nqi, nqp = sample_with_topk(
+                logits, kk, return_topk, temperature, top_p
+            )
+            q_cur = (nqi, nqp)
+        else:
+            nxt = sample(logits, kk, temperature=temperature, top_p=top_p)
+        return (i + 1, nxt, q_cur, active, cache, out_toks, out_lps, q_bufs, gen_len, key)
+
+    state = (0, first, q_cur, active, cache, out_toks, out_lps, q_bufs, gen_len, key)
+    _, _, _, _, cache, out_toks, out_lps, q_bufs, gen_len, _ = jax.lax.while_loop(
+        cond, body, state
+    )
+    return out_toks, out_lps, gen_len, q_bufs, cache
 
 
 @dataclass
@@ -111,49 +168,55 @@ def _make_generate_fn(spec: ModelSpec, fwd):
             first = sample(logits, k0, temperature=temperature, top_p=top_p)
             q_cur, q_bufs = (), ()
 
-        out_toks = jnp.full((B, max_new), PAD_ID, jnp.int32)
-        out_lps = jnp.zeros((B, max_new), jnp.float32)
-        active = jnp.ones((B,), bool)
-        gen_len = jnp.zeros((B,), jnp.int32)
-
-        def cond(state):
-            i, _, _, active, *_ = state
-            return jnp.logical_and(i < max_new, jnp.any(active))
-
-        def body(state):
-            i, tok, q_cur, active, cache, out_toks, out_lps, q_bufs, gen_len, key = state
-            writing = jnp.logical_and(active, i < budget)
-            out_toks = out_toks.at[:, i].set(jnp.where(writing, tok.token, PAD_ID))
-            out_lps = out_lps.at[:, i].set(jnp.where(writing, tok.logprob, 0.0))
-            if return_topk:
-                qi, qp = q_cur
-                q_bufs = (
-                    q_bufs[0].at[:, i].set(jnp.where(writing[:, None], qi, 0)),
-                    q_bufs[1].at[:, i].set(jnp.where(writing[:, None], qp, 0.0)),
-                )
-            gen_len = gen_len + writing.astype(jnp.int32)
-            if eos_id is not None:
-                active = jnp.logical_and(active, tok.token != eos_id)
-            active = jnp.logical_and(active, i + 1 < budget)
-            positions = seq_lens + i  # position of the token being fed
-            logits, cache = fwd.decode_step(params, spec, tok.token, positions, cache, block_tables)
-            key, kk = jax.random.split(key)
-            if return_topk:
-                from ..ops.sampling import sample_with_topk
-
-                nxt, nqi, nqp = sample_with_topk(
-                    logits, kk, return_topk, temperature, top_p
-                )
-                q_cur = (nqi, nqp)
-            else:
-                nxt = sample(logits, kk, temperature=temperature, top_p=top_p)
-            return (i + 1, nxt, q_cur, active, cache, out_toks, out_lps, q_bufs, gen_len, key)
-
-        state = (0, first, q_cur, active, cache, out_toks, out_lps, q_bufs, gen_len, key)
-        _, _, _, _, cache, out_toks, out_lps, q_bufs, gen_len, _ = jax.lax.while_loop(
-            cond, body, state
+        return _decode_loop(
+            params, spec, fwd, first=first, q_cur=q_cur, q_bufs=q_bufs,
+            seq_lens=seq_lens, cache=cache, block_tables=block_tables, key=key,
+            budget=budget, max_new=max_new, temperature=temperature,
+            top_p=top_p, eos_id=eos_id, return_topk=return_topk,
         )
-        return out_toks, out_lps, gen_len, q_bufs, cache
+
+    return fn
+
+
+def _make_generate_cached_fn(spec: ModelSpec, fwd):
+    """Prefix-cache-aware generation: the prompt's cached page-aligned
+    prefix is SKIPPED — only the suffix window runs through the model
+    (models/qwen.prefill_window over the paged prefix) — then the same fused
+    while-loop decode. ``offsets`` = per-row reused-prefix lengths."""
+
+    def fn(params, tokens_w, offsets, win_lens, block_tables, cache, key,
+           budget, *, max_new, temperature, top_p, eos_id, return_topk=0):
+        B = tokens_w.shape[0]
+        h, cache = fwd.prefill_window(
+            params, spec, tokens_w, offsets, win_lens, cache, block_tables
+        )
+        last = jnp.take_along_axis(
+            h, jnp.maximum(win_lens - 1, 0)[:, None, None], axis=1
+        )
+        logits = fwd.logits_at(params, spec, last)[:, 0]
+        key, k0 = jax.random.split(key)
+        if return_topk:
+            from ..ops.sampling import sample_with_topk
+
+            first, qi0, qp0 = sample_with_topk(
+                logits, k0, return_topk, temperature, top_p
+            )
+            q_cur = (qi0, qp0)
+            q_bufs = (
+                jnp.zeros((B, max_new, return_topk), jnp.int32),
+                jnp.zeros((B, max_new, return_topk), jnp.float32),
+            )
+        else:
+            first = sample(logits, k0, temperature=temperature, top_p=top_p)
+            q_cur, q_bufs = (), ()
+
+        return _decode_loop(
+            params, spec, fwd, first=first, q_cur=q_cur, q_bufs=q_bufs,
+            seq_lens=offsets + win_lens, cache=cache,
+            block_tables=block_tables, key=key, budget=budget,
+            max_new=max_new, temperature=temperature, top_p=top_p,
+            eos_id=eos_id, return_topk=return_topk,
+        )
 
     return fn
 
@@ -360,6 +423,7 @@ class TierEngine:
         donate_cache: bool = True,
         mesh=None,
         act_quant: bool = False,
+        enable_prefix_cache: bool = False,
     ) -> None:
         """``mesh``: optional jax Mesh (a disjoint sub-mesh of the pod slice,
         parallel.plan_tier_placements) — cascade tiers co-schedule on
@@ -479,6 +543,23 @@ class TierEngine:
         self._decode_sample_jit = jax.jit(
             _decode_sample, donate_argnums=(3,) if donate_cache else ()
         )
+
+        # automatic prefix caching: content-addressed KV-page reuse across
+        # requests (engine/prefix_cache.py); generation then prefills only
+        # the uncached suffix window. Not yet available on the shard_map TP
+        # path (prefill_window is single-device/GSPMD for now).
+        self.prefix_cache = None
+        self._generate_cached_jit = None
+        if enable_prefix_cache and not self.tp_mode:
+            from .prefix_cache import PrefixCache
+
+            self.prefix_cache = PrefixCache(self.allocator, page_size)
+            self._generate_cached_jit = jax.jit(
+                _make_generate_cached_fn(spec, fwd),
+                static_argnames=("max_new", "temperature", "top_p", "eos_id",
+                                 "return_topk"),
+                donate_argnums=(5,) if donate_cache else (),
+            )
         self.total_generated_tokens = 0
         self.total_decode_time_s = 0.0
 
@@ -535,6 +616,11 @@ class TierEngine:
         draft-side support for a later tier's stochastic verify."""
         if return_topk and temperature <= 0.0:
             return_topk = 0  # greedy verify needs no draft distribution
+        if self.prefix_cache is not None:
+            return self._generate_cached(
+                prompts, max_new=max_new, temperature=temperature, top_p=top_p,
+                seed=seed, return_topk=return_topk,
+            )
         B = len(prompts)
         Bb = _bucket_batch(B)
         lens = [len(p) for p in prompts]
@@ -574,6 +660,99 @@ class TierEngine:
         finally:
             for b in range(Bb):
                 self.allocator.free_request(f"{rid}_{b}")
+
+        results = []
+        for i in range(B):
+            n = int(gen_len[i])
+            results.append(
+                GenerationOutput(
+                    token_ids=out_toks[i, :n].copy(),
+                    logprobs=out_lps[i, :n].copy(),
+                    prefill_time_s=0.0,
+                    decode_time_s=dt,
+                    topk_ids=q_bufs[0][i, :n].copy() if return_topk else None,
+                    topk_probs=q_bufs[1][i, :n].copy() if return_topk else None,
+                )
+            )
+        self.total_generated_tokens += int(gen_len[:B].sum())
+        self.total_decode_time_s += dt
+        return results
+
+    def _generate_cached(
+        self,
+        prompts: Sequence[Sequence[int]],
+        *,
+        max_new: int,
+        temperature: float,
+        top_p: float,
+        seed: int,
+        return_topk: int,
+    ) -> list[GenerationOutput]:
+        """Prefix-cache generation: acquire cached page-aligned prompt
+        prefixes, prefill only the suffix windows, decode as usual. Fresh
+        full-page chunks written by this call become cached entries."""
+        B = len(prompts)
+        Bb = _bucket_batch(B)
+        page = self.page_size
+        lens = [len(p) for p in prompts]
+        max_new_b = _bucket_len(max_new, 32)
+        max_pages = (max(lens) + max_new_b + page - 1) // page + 1
+        oob = self.allocator.n_pages
+
+        acqs = [self.prefix_cache.acquire(p) for p in prompts]
+        offs = [a[1] for a in acqs]
+        suffix = [list(p)[o:] for p, o in zip(prompts, offs)]
+        Wb = _bucket_len(max(len(sx) for sx in suffix), min(64, page))
+
+        tokens = np.full((Bb, Wb), PAD_ID, np.int32)
+        offsets = np.zeros((Bb,), np.int32)
+        win_lens = np.ones((Bb,), np.int32)
+        tables = np.full((Bb, max_pages), oob, np.int32)
+        rid = f"genc{id(self)}_{time.monotonic_ns()}"
+        try:
+            for i, (sx, (pref_pages, n_reused, _held, _fill)) in enumerate(
+                zip(suffix, acqs)
+            ):
+                tokens[i, : len(sx)] = np.asarray(sx, np.int32)
+                offsets[i] = n_reused
+                win_lens[i] = len(sx)
+                needed = min((lens[i] + max_new_b + page - 1) // page + 1, max_pages)
+                own = max(needed - len(pref_pages), 0)
+                tables[i, : len(pref_pages)] = pref_pages
+                if own:
+                    tables[i, len(pref_pages) : len(pref_pages) + own] = (
+                        self.allocator.alloc(f"{rid}_{i}", own)
+                    )
+            t0 = time.perf_counter()
+            out_toks, out_lps, gen_len, q_bufs, self.cache = self._generate_cached_jit(
+                self.params,
+                jnp.asarray(tokens),
+                jnp.asarray(offsets),
+                jnp.asarray(win_lens),
+                jnp.asarray(tables),
+                self.cache,
+                jax.random.key(seed),
+                jnp.int32(max_new),
+                max_new=max_new_b,
+                temperature=temperature,
+                top_p=top_p,
+                eos_id=self.eos_id,
+                return_topk=return_topk,
+            )
+            out_toks, out_lps, gen_len, q_bufs = jax.device_get(
+                (out_toks, out_lps, gen_len, q_bufs)
+            )
+            dt = time.perf_counter() - t0
+        except Exception:
+            for _, _, held, fill in acqs:
+                self.prefix_cache.invalidate([k for k, _ in fill])
+                self.prefix_cache.release([k for k in held if k not in {f for f, _ in fill}])
+            raise
+        finally:
+            for i in range(B):
+                self.allocator.free_request(f"{rid}_{i}")
+        for _, _, held, _fill in acqs:
+            self.prefix_cache.release(held)
 
         results = []
         for i in range(B):
@@ -859,4 +1038,9 @@ class TierEngine:
             "n_pages": self.allocator.n_pages,
             "cost_per_token": self.cost_per_token,
             "memory_bytes": self.memory_usage_bytes(),
+            **(
+                {"prefix_cache": self.prefix_cache.stats()}
+                if self.prefix_cache is not None
+                else {}
+            ),
         }

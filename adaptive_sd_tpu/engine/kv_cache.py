@@ -131,6 +131,41 @@ class PagedKVCache:
         new.v_scales[layer] = self.v_scales[layer].at[h_idx, pi, zero, sl].set(vs, mode="drop")
         return new
 
+    def write_window(
+        self,
+        layer: int,
+        k: jax.Array,             # [B, W, n_kv, D]
+        v: jax.Array,             # [B, W, n_kv, D]
+        block_tables: jax.Array,  # [B, max_pages]
+        offsets: jax.Array,       # [B] first global position of the window
+        win_lens: jax.Array,      # [B] valid window lengths (rest dropped)
+    ) -> "PagedKVCache":
+        """Write a mid-sequence token window (chunked prefill / speculative
+        verify over a cached prefix): position of window slot w is
+        ``offsets + w``. Same drop-masking as write_prefill."""
+        B, W, n_kv, _ = k.shape
+        page = self.page_size
+        kq, ks = quantize_kv_int8(k)
+        vq, vs = quantize_kv_int8(v)
+        w_idx = jnp.broadcast_to(jnp.arange(W)[None, :], (B, W))
+        pos = offsets[:, None] + w_idx
+        valid = w_idx < win_lens[:, None]
+        page_idx = jnp.take_along_axis(block_tables, pos // page, axis=1)  # [B, W]
+        page_idx = jnp.where(valid, page_idx, self.n_pages)
+        slot = pos % page
+
+        h_idx = jnp.broadcast_to(jnp.arange(n_kv)[None, None, :], (B, W, n_kv))
+        pi = jnp.broadcast_to(page_idx[:, :, None], (B, W, n_kv))
+        sl = jnp.broadcast_to(slot[:, :, None], (B, W, n_kv))
+        zero = jnp.zeros_like(pi)
+
+        new = self._copy()
+        new.k_pages[layer] = self.k_pages[layer].at[h_idx, pi, sl].set(kq, mode="drop")
+        new.k_scales[layer] = self.k_scales[layer].at[h_idx, pi, zero, sl].set(ks, mode="drop")
+        new.v_pages[layer] = self.v_pages[layer].at[h_idx, pi, sl].set(vq, mode="drop")
+        new.v_scales[layer] = self.v_scales[layer].at[h_idx, pi, zero, sl].set(vs, mode="drop")
+        return new
+
     def _copy(self) -> "PagedKVCache":
         return PagedKVCache(
             list(self.k_pages), list(self.k_scales), list(self.v_pages), list(self.v_scales)

@@ -357,6 +357,74 @@ def logits_at(params: Params, spec: ModelSpec, h: jax.Array, *, use_pallas: bool
     return _logits(params, spec, h, use_pallas=use_pallas, act_quant=act_quant)
 
 
+def prefill_window(
+    params: Params,
+    spec: ModelSpec,
+    tokens: jax.Array,        # [B, W] int32 window tokens (right-padded)
+    offsets: jax.Array,       # [B] int32 global position of window slot 0
+    win_lens: jax.Array,      # [B] int32 valid window lengths
+    cache,                    # PagedKVCache (prefix already written)
+    block_tables: jax.Array,  # [B, max_pages]
+    *,
+    use_pallas: bool = True,
+    act_quant: bool = False,
+):
+    """Chunked prefill: process a WINDOW of tokens whose prefix KV is already
+    in the cache pages (prefix caching / chunked long-prompt prefill / the
+    split verify pass). Each window position attends the cached prefix plus
+    the window's own causal prefix via the paged window-attention kernel
+    (ops/attention.py paged_window_attention). Returns (hidden [B, W, H]
+    pre-final-norm, cache); callers take logits via :func:`logits_at`.
+
+    Role parity: vLLM's chunked-prefill + prefix-caching execution path
+    (capabilities the reference rents, SURVEY.md §2.8)."""
+    from ..ops.attention import paged_window_attention, paged_window_attention_ref
+
+    B, W = tokens.shape
+    h = _embed(params, spec, tokens, None)
+    positions = offsets[:, None] + jnp.arange(W)[None, :]     # [B, W]
+    cos, sin = rope_tables(positions, spec.head_dim, spec.rope_theta)
+    cos, sin = cos[:, :, None, :], sin[:, :, None, :]
+    sm_scale = 1.0 / math.sqrt(spec.head_dim)
+    ctx_lens = offsets + win_lens
+    attn_fn = paged_window_attention if use_pallas else paged_window_attention_ref
+    G = spec.q_group
+
+    for li, layer in enumerate(params["layers"]):
+        x = rms_norm(h, layer["input_norm"], spec.rms_eps)
+        q, k, v = _qkv(spec, layer, x, use_pallas=use_pallas, act_quant=act_quant)
+        q = apply_rope(_attn_shapes(spec, q, spec.n_heads), cos, sin)
+        k = apply_rope(_attn_shapes(spec, k, spec.n_kv_heads), cos, sin)
+        v = _attn_shapes(spec, v, spec.n_kv_heads)
+
+        # write the window's KV first; attention then reads pages only
+        cache = cache.write_window(li, k, v, block_tables, offsets, win_lens)
+
+        # rows w-major within each kv head: [B, W, n_kv, G, D] -> [B, n_kv, W*G, D]
+        qr = q.reshape(B, W, spec.n_kv_heads, G, spec.head_dim)
+        qr = jnp.swapaxes(qr, 1, 2).reshape(B, spec.n_kv_heads, W * G, spec.head_dim)
+        attn = attn_fn(
+            qr,
+            cache.k_pages[li],
+            cache.k_scales[li],
+            cache.v_pages[li],
+            cache.v_scales[li],
+            block_tables,
+            ctx_lens,
+            offsets,
+            group=G,
+            sm_scale=sm_scale,
+        )
+        attn = attn.reshape(B, spec.n_kv_heads, W, G, spec.head_dim)
+        attn = jnp.swapaxes(attn, 1, 2).reshape(B, W, spec.n_heads * spec.head_dim)
+        h = h + linear(attn, layer["o_proj"], use_pallas=use_pallas, act_quant=act_quant)
+
+        x = rms_norm(h, layer["post_norm"], spec.rms_eps)
+        h = h + _mlp(spec, layer, x, use_pallas=use_pallas, act_quant=act_quant)
+
+    return h, cache
+
+
 def decode_step(
     params: Params,
     spec: ModelSpec,

@@ -166,7 +166,17 @@ def build_app(
         return web.json_response({"models": pipe.stages.info(), "costs": pipe.costs})
 
     async def cache_stats(request: web.Request) -> web.Response:
-        return web.json_response(request.app["pipeline"].cache.stats())
+        pipe = request.app["pipeline"]
+        out = dict(pipe.cache.stats())
+        prefix = {}
+        for st in pipe.stages:
+            eng = getattr(st, "engine", None)
+            pc = getattr(eng, "prefix_cache", None) if eng is not None else None
+            if pc is not None:
+                prefix[st.name] = pc.stats()
+        if prefix:
+            out["prefix_kv"] = prefix
+        return web.json_response(out)
 
     async def generate_stream(request: web.Request) -> web.StreamResponse:
         """SSE streaming endpoint: `data: <chunk>` lines, then a final

@@ -66,7 +66,8 @@ def _synthetic_stages() -> StageManager:
 
         spec = dataclasses.replace(scaled_spec(TINY128, layers=layers, name=name))
         params = quantize_model(fuse_projections(init_params(spec, jax.random.key(i))), bits=8)
-        eng = TierEngine(spec, params, n_pages=256, use_pallas=False, cost_per_token=cost)
+        eng = TierEngine(spec, params, n_pages=256, use_pallas=False, cost_per_token=cost,
+                         enable_prefix_cache=True)
         stages.append(EngineTextStage(eng, simple_tok, simple_detok, name=name,
                                       spec_topk=0 if i == 2 else 64))
     return StageManager(stages)
@@ -107,6 +108,7 @@ def _real_stages(cascade_cfg_path: str) -> StageManager:
             n_pages=st.n_pages,
             eos_id=tok.eos_token_id,
             cost_per_token=st.cost_per_token,
+            enable_prefix_cache=st.prefix_cache,
         )
         stages.append(
             EngineTextStage(
