@@ -244,6 +244,10 @@ def _make_verify_continue_fn(spec: ModelSpec, fwd):
                        # [B,Dw,K], q_probs [B,Dw,K]) — the draft model's own
                        # per-token logprob + top-K support, enabling the
                        # exact stochastic rejection rule at temperature > 0
+        offsets,       # [B] reused-prefix lengths (prefix cache). With
+                       # ``cached`` static True, ``tokens`` holds only the
+                       # WINDOW [prompt-suffix + draft] and the prompt's
+                       # cached pages are skipped via prefill_window.
         *,
         max_new,       # static bucketed output-window width
         max_draft,     # static draft-window width
@@ -257,22 +261,32 @@ def _make_verify_continue_fn(spec: ModelSpec, fwd):
                        # distribution (the rejection-rule theorem), so q for
                        # the next verifier is top-K of logp_t per slot.
                        # Only meaningful on the stochastic path (draft_q).
+        cached=False,  # static; prefix-cache mode (see ``offsets``)
     ):
         B, S = tokens.shape
-        _, cache, h = fwd.prefill(
-            params, spec, tokens, total_lens, cache, block_tables, return_hidden=True
-        )
+        if cached:
+            win_lens = total_lens - offsets
+            h, cache = fwd.prefill_window(
+                params, spec, tokens, offsets, win_lens, cache, block_tables
+            )
+        else:
+            _, cache, h = fwd.prefill(
+                params, spec, tokens, total_lens, cache, block_tables,
+                return_hidden=True,
+            )
         # Hidden state at position prompt_lens-1+i predicts draft token i.
         # Window of max_draft + 1 positions: index i predicts draft token i;
         # the extra slot (i == draft_len) is the model's own NEXT token when
         # the whole draft is accepted — without it the bonus token would
         # wrongly re-emit the last draft token on full acceptance.
-        pos = prompt_lens[:, None] - 1 + jnp.arange(max_draft + 1)[None, :]
+        # In cached mode, h/tokens are window-relative: shift by offsets.
+        base = prompt_lens - offsets if cached else prompt_lens
+        pos = base[:, None] - 1 + jnp.arange(max_draft + 1)[None, :]
         pos_c = jnp.clip(pos, 0, S - 1)
         h_sel = jnp.take_along_axis(h, pos_c[:, :, None], axis=1)      # [B, Dw+1, H]
         logits_d = fwd.logits_at(params, spec, h_sel)
 
-        draft_idx = jnp.clip(prompt_lens[:, None] + jnp.arange(max_draft)[None, :], 0, S - 1)
+        draft_idx = jnp.clip(base[:, None] + jnp.arange(max_draft)[None, :], 0, S - 1)
         draft = jnp.take_along_axis(tokens, draft_idx, axis=1)          # [B, Dw]
         draft_len = total_lens - prompt_lens
 
@@ -492,7 +506,7 @@ class TierEngine:
         self._verify_jit = jax.jit(
             self._verify_raw,
             static_argnames=("max_new", "max_draft", "temperature", "top_p",
-                             "eos_id", "return_topk"),
+                             "eos_id", "return_topk", "cached"),
             donate_argnums=(5,) if donate_cache else (),
         )
 
@@ -925,23 +939,34 @@ class TierEngine:
             raise ValueError("prompts and drafts must align")
         B = len(prompts)
         Bb = _bucket_batch(B)
+        page = self.page_size
         p_lens = [len(p) for p in prompts]
         d_lens = [min(len(d), max_new) for d in drafts]
         max_draft = _bucket_len(max(d_lens), 8)
-        S = _bucket_len(
-            max(pl + dl for pl, dl in zip(p_lens, d_lens)), min(64, self.page_size)
-        )
         max_new_b = _bucket_len(max_new, 32)
-        max_pages = (S + max_new_b + self.page_size - 1) // self.page_size + 1
+
+        cached = self.prefix_cache is not None
+        acqs = [self.prefix_cache.acquire(p) for p in prompts] if cached else []
+        offs = [a[1] for a in acqs] if cached else [0] * B
+        # window = [prompt-suffix + draft]; without prefix cache the window
+        # is the whole sequence (offsets 0)
+        S = _bucket_len(
+            max(pl + dl - o for pl, dl, o in zip(p_lens, d_lens, offs)),
+            min(64, page),
+        )
+        max_pages = (
+            max(pl + dl for pl, dl in zip(p_lens, d_lens)) + max_new_b + page - 1
+        ) // page + 1
 
         tokens = np.full((Bb, S), PAD_ID, np.int32)
-        for i, (p, d) in enumerate(zip(prompts, drafts)):
-            seq = list(p) + list(d)[: d_lens[i]]
+        for i, (pr, d) in enumerate(zip(prompts, drafts)):
+            seq = list(pr)[offs[i] :] + list(d)[: d_lens[i]]
             tokens[i, : len(seq)] = np.asarray(seq, np.int32)
         prompt_lens = np.asarray(p_lens + [1] * (Bb - B), np.int32)
         total_lens = np.asarray(
             [pl + dl for pl, dl in zip(p_lens, d_lens)] + [1] * (Bb - B), np.int32
         )
+        offsets = np.asarray(offs + [0] * (Bb - B), np.int32)
 
         dq_args = ()
         if (
@@ -963,10 +988,14 @@ class TierEngine:
             return_topk = 0  # only the stochastic path emits exact q support
 
         rid = f"ver{id(self)}_{time.monotonic_ns()}"
-        tables = np.zeros((Bb, max_pages), np.int32)
+        tables = np.full((Bb, max_pages), self.allocator.n_pages, np.int32)
         try:
             for b in range(Bb):
-                tables[b] = self.allocator.alloc(f"{rid}_{b}", max_pages)
+                pref = acqs[b][0] if cached and b < B else []
+                own = max_pages - len(pref)
+                tables[b, : len(pref)] = pref
+                if own:
+                    tables[b, len(pref) :] = self.allocator.alloc(f"{rid}_{b}", own)
             t0 = time.perf_counter()
             out_toks, out_lps, gen_len, n_acc, q_bufs, self.cache = self._verify_jit(
                 self.params,
@@ -978,20 +1007,32 @@ class TierEngine:
                 jax.random.key(seed),
                 jnp.int32(max_new),
                 dq_args,
+                jnp.asarray(offsets),
                 max_new=max_new_b,
                 max_draft=max_draft,
                 temperature=temperature,
                 top_p=top_p,
                 eos_id=self.eos_id,
                 return_topk=return_topk,
+                cached=cached,
             )
             out_toks, out_lps, gen_len, n_acc, q_bufs = jax.device_get(
                 (out_toks, out_lps, gen_len, n_acc, q_bufs)
             )
             dt = time.perf_counter() - t0
+        except Exception:
+            if cached:
+                for _, _, held, fill in acqs:
+                    self.prefix_cache.invalidate([k for k, _ in fill])
+                    fkeys = {f for f, _ in fill}
+                    self.prefix_cache.release([k for k in held if k not in fkeys])
+            raise
         finally:
             for b in range(Bb):
                 self.allocator.free_request(f"{rid}_{b}")
+        if cached:
+            for _, _, held, _fill in acqs:
+                self.prefix_cache.release(held)
 
         results = []
         for i in range(B):

@@ -291,3 +291,64 @@ class TestPrefixCache:
         cached.generate([[9, 8, 7]], max_new=8)  # unrelated traffic
         again = cached.generate([prompt], max_new=8)[0]
         assert first.token_ids.tolist() == again.token_ids.tolist()
+
+
+class TestPrefixCachedVerify:
+    """verify_continue through the window path: with a prefix cache the
+    escalated prompt's cached pages are skipped — the verify pass covers
+    only [uncached prompt suffix + draft]."""
+
+    def test_matches_plain_verify(self, tiny_params):
+        from adaptive_sd_tpu.engine import TierEngine
+
+        plain = TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=128,
+                           use_pallas=False)
+        cached = TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=128,
+                            use_pallas=False, enable_prefix_cache=True)
+        prompt = list(range(1, 2 * PAGE + 6))
+        full = plain.generate([prompt], max_new=8)[0]
+        draft = full.token_ids[:5].tolist()
+        draft[4] = (draft[4] + 3) % TINY.vocab_size or 1  # corrupt 5th
+
+        ref_out, ref_acc = plain.verify_continue([prompt], [draft], max_new=8)[0]
+        # cold (fills prompt chunks), then warm (reuses them)
+        o1, a1 = cached.verify_continue([prompt], [draft], max_new=8)[0]
+        o2, a2 = cached.verify_continue([prompt], [draft], max_new=8)[0]
+        assert a1 == ref_acc == a2 == 4
+        assert o1.token_ids.tolist() == ref_out.token_ids.tolist()
+        assert o2.token_ids.tolist() == ref_out.token_ids.tolist()
+        assert cached.prefix_cache.stats()["hits"] >= 2
+        assert cached.allocator.stats().active_requests == \
+            cached.prefix_cache.stats()["entries"]
+
+    def test_generate_then_verify_shares_prefix(self, tiny_params):
+        """The cascade pattern: tier generates (fills prefix), then verify
+        of an escalated request with the same prompt prefix reuses it."""
+        from adaptive_sd_tpu.engine import TierEngine
+
+        eng = TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=128,
+                         use_pallas=False, enable_prefix_cache=True)
+        prompt = list(range(1, 2 * PAGE + 3))
+        d = eng.generate([prompt], max_new=6)[0]
+        hits0 = eng.prefix_cache.stats()["hits"]
+        out, n_acc = eng.verify_continue([prompt], [d.token_ids.tolist()], max_new=6)[0]
+        assert eng.prefix_cache.stats()["hits"] > hits0
+        assert n_acc == 6  # self-draft fully accepted
+        assert out.token_ids.tolist() == d.token_ids.tolist()
+
+    def test_stochastic_cached_verify(self, tiny_params):
+        from adaptive_sd_tpu.engine import TierEngine
+
+        eng = TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=128,
+                         use_pallas=False, enable_prefix_cache=True)
+        prompt = list(range(1, 2 * PAGE + 3))
+        K = min(32, TINY.vocab_size)
+        d = eng.generate([prompt], max_new=6, temperature=1.0, seed=3,
+                         return_topk=K)[0]
+        out, n_acc = eng.verify_continue(
+            [prompt], [d.token_ids.tolist()], max_new=6, temperature=1.0,
+            seed=5, draft_q=[(d.logprobs, d.topk_ids, d.topk_probs)],
+        )[0]
+        assert 0 <= n_acc <= 6
+        assert out.token_ids[:n_acc].tolist() == d.token_ids[:n_acc].tolist()
+        assert out.num_tokens == 6
