@@ -7,6 +7,7 @@ from .cost_optimizer import (
     PerformanceMonitor,
 )
 from .pipeline import AdaptiveCascadePipeline, PipelineConfig
+from .scheduled import ScheduledCascadePipeline
 from .stages import EngineTextStage, MockStage, StageManager, TextStage
 
 __all__ = [name for name in dir() if not name.startswith("_")]

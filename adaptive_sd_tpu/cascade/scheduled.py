@@ -1,0 +1,297 @@
+"""ScheduledCascadePipeline — the cascade on continuous batching.
+
+The fused ``AdaptiveCascadePipeline`` runs one generation graph per request
+batch per tier: ideal for offline/batch workloads, but an online server with
+staggered arrivals would serialise behind each fused call. This pipeline
+instead runs ONE ContinuousBatchingScheduler per tier (engine/scheduler.py):
+
+* every request joins tier 0's lane array on arrival — no request waits for a
+  batch to drain (the vLLM continuous-batching property the reference rents,
+  SURVEY.md §2.8);
+* when a tier finishes a request, the stopping decision (predictor →
+  Bayesian adjustment → DP, same policy objects as the fused pipeline) runs
+  on the scheduler thread and either resolves the request or submits it to
+  the next tier's scheduler;
+* escalations enter the target tier's lanes as DRAFT admissions: one fused
+  verify pass (engine.verify_admit_sample_batch) accepts the longest draft
+  prefix this tier agrees with, then the lane decodes only the remainder —
+  speculative escalation and continuous batching compose instead of
+  excluding each other. Greedy acceptance: exact at temperature 0,
+  conservative above (lane sampling is per-lane-temperature; ``top_p`` is
+  ignored in scheduled mode).
+
+Role parity: reference ``AdaptiveSpeculativePipeline`` behind a server
+(src/serving/pipeline.py:90-423 + vLLM's continuous batching); here both
+halves are one system. Known deviation: per-(request, stage) response caching
+(``enable_caching``) is not applied in scheduled mode — results stream out of
+lanes, not from a response store.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..core.exceptions import OptimizationError
+from ..core.types import (
+    ModelOutput,
+    OptimizationDecision,
+    ProcessingResult,
+    RequestContext,
+    StageResult,
+)
+from ..policy.dp import bayesian_adjustment
+from .pipeline import AdaptiveCascadePipeline, PipelineConfig
+from .stages import StageManager
+
+
+@dataclass
+class _CascadeJob:
+    """In-flight request state threaded across tier schedulers."""
+
+    request: RequestContext
+    lam: float
+    t0: float = field(default_factory=time.perf_counter)
+    probs: list = field(default_factory=list)
+    raw_probs: list = field(default_factory=list)
+    stage_results: list = field(default_factory=list)
+    failed_stages: list = field(default_factory=list)
+    decision: Optional[OptimizationDecision] = None
+    result: Optional[ProcessingResult] = None
+    error: Optional[str] = None
+    done: threading.Event = field(default_factory=threading.Event)
+
+    def wait(self, timeout: Optional[float] = None) -> bool:
+        return self.done.wait(timeout)
+
+
+class ScheduledCascadePipeline(AdaptiveCascadePipeline):
+    """Cascade over per-tier continuous-batching schedulers. Inherits the
+    decision machinery (DP/threshold/UCB strategies, Bayesian priors,
+    lambda admin, EMA stats, observers) from AdaptiveCascadePipeline and
+    replaces the execution plane."""
+
+    def __init__(
+        self,
+        stages: StageManager,
+        predictor,
+        config: Optional[PipelineConfig] = None,
+        costs: Optional[Sequence[float]] = None,
+        *,
+        max_batch: int = 8,
+        max_context: int = 2048,
+        admission_wait_s: float = 0.002,
+    ) -> None:
+        super().__init__(stages, predictor, config, costs=costs)
+        from ..engine.scheduler import ContinuousBatchingScheduler
+
+        self.schedulers = []
+        for stage in stages:
+            engine = getattr(stage, "engine", None)
+            if engine is None:
+                raise ValueError(
+                    f"stage {stage.name} has no TierEngine; the scheduled "
+                    "pipeline needs EngineTextStage tiers"
+                )
+            self.schedulers.append(
+                ContinuousBatchingScheduler(
+                    engine,
+                    max_batch=max_batch,
+                    max_context=max_context,
+                    admission_wait_s=admission_wait_s,
+                )
+            )
+        self._started = False
+        self._start_lock = threading.Lock()
+
+    # ------------------------------------------------------------- lifecycle
+    def start(self) -> None:
+        with self._start_lock:
+            if not self._started:
+                for s in self.schedulers:
+                    s.start()
+                self._started = True
+
+    def shutdown(self) -> None:
+        for s in self.schedulers:
+            s.stop()
+        self._started = False
+        super().shutdown()
+
+    # ------------------------------------------------------------- execution
+    def submit(self, request: RequestContext) -> _CascadeJob:
+        """Non-blocking entry: the request joins tier 0's lanes; escalation
+        and resolution happen on the scheduler threads."""
+        if self._shutdown:
+            raise OptimizationError("pipeline is shut down")
+        self.start()
+        lam = (
+            request.lambda_override
+            if request.lambda_override is not None
+            else self._lam
+        )
+        job = _CascadeJob(request=request, lam=lam)
+        self._submit_tier(job, 0, draft=None)
+        return job
+
+    def _submit_tier(self, job: _CascadeJob, tier: int, draft) -> None:
+        stage = self.stages[tier]
+        prompt_toks = stage.tokenize(job.request.prompt)
+        self.schedulers[tier].submit(
+            prompt_toks,
+            max_new=job.request.max_tokens,
+            temperature=job.request.temperature,
+            request_id=f"{job.request.request_id}.t{tier}",
+            draft=draft,
+            on_done=lambda sreq, _j=job, _t=tier: self._on_tier_done(_j, _t, sreq),
+        )
+
+    def _on_tier_done(self, job: _CascadeJob, tier: int, sreq) -> None:
+        """Scheduler-thread hook: decide stop/escalate for one finished tier."""
+        try:
+            stage = self.stages[tier]
+            is_last = tier == self.n_stages - 1
+            if sreq.error is not None:
+                # per-stage fault isolation: skip to the next tier plain
+                job.failed_stages.append(tier)
+                self._metrics.inc(
+                    "stage_errors_total", labels={"stage": str(tier)},
+                    help="per-stage generation failures",
+                )
+                job.probs.append(0.0)
+                job.raw_probs.append(0.0)
+                if is_last:
+                    self._finalize(job, error=f"stage {tier} failed: {sreq.error}")
+                else:
+                    self._submit_tier(job, tier + 1, draft=None)
+                return
+
+            dt = max(sreq.finished_at - sreq.arrival, 0.0)
+            n_out = len(sreq.out_tokens)
+            output = ModelOutput(
+                text=stage.detokenize(sreq.out_tokens),
+                token_ids=np.asarray(sreq.out_tokens, np.int32),
+                logprobs=np.asarray(sreq.out_logprobs, np.float32),
+                num_prompt_tokens=len(stage.tokenize(job.request.prompt)),
+                num_generated_tokens=n_out,
+                generation_time_s=dt,
+                tokens_per_second=n_out / dt if dt > 0 else 0.0,
+                stage_name=stage.name,
+                finish_reason=(
+                    f"spec_accepted={sreq.n_accepted}" if sreq.draft else "stop"
+                ),
+            )
+
+            t_dec = time.perf_counter()
+            if is_last:
+                p_raw, pred = 1.0, None
+            else:
+                pred = self.predictor.predict(
+                    job.request.prompt, output.text, output.logprobs, tier
+                )
+                p_raw = float(np.clip(pred.quality_score, 0.0, 1.0))
+            job.raw_probs.append(p_raw)
+            p_adj = (
+                1.0
+                if is_last
+                else bayesian_adjustment(
+                    p_raw, int(self._obs_n[tier]),
+                    alpha=self.config.risk_alpha, beta=self.config.risk_beta,
+                )
+            )
+            job.probs.append(p_adj)
+            k_star, v0 = self._decide(job.probs, job.lam)
+            dec_time = time.perf_counter() - t_dec
+            stop = k_star <= tier or is_last
+            if self.config.quality_floor and p_adj < self.config.quality_floor:
+                stop = is_last
+            job.stage_results.append(
+                StageResult(
+                    stage_index=tier,
+                    stage_name=stage.name,
+                    output=output,
+                    prediction=pred,
+                    accepted=stop,
+                    cost=self.costs[tier],
+                    latency_s=dt,
+                )
+            )
+            with self._lock:
+                self._obs_n[tier] += 1
+                self._obs_sum[tier] += p_raw
+
+            if stop:
+                job.decision = OptimizationDecision(
+                    selected_stage=tier,
+                    stop=True,
+                    expected_cost=v0,
+                    acceptance_probs=list(job.raw_probs),
+                    adjusted_probs=list(job.probs),
+                    lambda_value=job.lam,
+                    decision_time_s=dec_time,
+                    rationale=f"DP k*={k_star} at stage {tier} (scheduled)",
+                )
+                self._finalize(job)
+            else:
+                draft = (
+                    sreq.out_tokens
+                    if p_raw >= self.config.min_draft_quality_for_verify
+                    else None
+                )
+                self._submit_tier(job, tier + 1, draft=draft)
+        except Exception as exc:  # noqa: BLE001 - jobs must resolve, not hang
+            self._finalize(job, error=f"{type(exc).__name__}: {exc}")
+
+    def _finalize(self, job: _CascadeJob, error: Optional[str] = None) -> None:
+        final = job.stage_results[-1] if job.stage_results else None
+        final_idx = final.stage_index if final else -1
+        job.error = error
+        job.result = ProcessingResult(
+            request_id=job.request.request_id,
+            text=final.output.text if final else "",
+            final_stage=final_idx,
+            final_stage_name=final.stage_name if final else "",
+            total_latency_s=time.perf_counter() - job.t0,
+            total_cost=self.costs[final_idx] if final_idx >= 0 else 0.0,
+            stage_results=job.stage_results,
+            decision=job.decision,
+            error=error,
+        )
+        self._update_stats(job.result)
+        job.done.set()
+
+    # -------------------------------------------------------------- blocking
+    def process_request(
+        self, request: RequestContext, timeout: Optional[float] = None
+    ) -> ProcessingResult:
+        job = self.submit(request)
+        if not job.wait(timeout):
+            raise OptimizationError(
+                f"request {request.request_id} timed out after {timeout}s"
+            )
+        assert job.result is not None
+        return job.result
+
+    def batch_process(
+        self, requests: Sequence[RequestContext], timeout: Optional[float] = None
+    ) -> list[ProcessingResult]:
+        """Submit everything at once — the lane arrays batch across requests
+        automatically, including across tiers (a tier-0 decode batch can run
+        while tier-1 verifies an earlier request's draft)."""
+        jobs = [self.submit(r) for r in requests]
+        deadline = None if timeout is None else time.monotonic() + timeout
+        for j in jobs:
+            t = None if deadline is None else max(deadline - time.monotonic(), 0.0)
+            if not j.wait(t):
+                raise OptimizationError("batch_process timed out")
+        return [j.result for j in jobs]  # type: ignore[misc]
+
+    # ----------------------------------------------------------------- stats
+    def get_stats(self) -> dict:
+        s = super().get_stats()
+        s["schedulers"] = [sc.stats() for sc in self.schedulers]
+        return s

@@ -152,6 +152,12 @@ class ServerConfig(BaseConfig):
     max_prompt_len: int = 32768
     max_new_tokens: int = 1024
     cors_origins: tuple[str, ...] = ("*",)
+    # Continuous-batching execution plane (cascade/scheduled.py): per-tier
+    # lane schedulers with draft (verify) admissions for escalations. Needs
+    # engine-backed stages.
+    scheduled_batching: bool = False
+    max_batch_lanes: int = 8
+    max_context: int = 2048
 
     def validate(self) -> None:
         if not 1 <= self.port <= 65535:

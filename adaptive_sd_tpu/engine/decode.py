@@ -418,6 +418,61 @@ def _make_verify_continue_fn(spec: ModelSpec, fwd):
     return fn
 
 
+def _make_verify_admit_fn(spec: ModelSpec, fwd):
+    """Verify-only pass for continuous-batching lane admission (scheduler
+    escalations): ONE prefill over [prompt + draft] greedily accepts the
+    longest draft prefix matching this model's argmax, then samples this
+    tier's own next token (per-lane temperature) at the first mismatch — or
+    right after the draft on full acceptance. No decode loop: the lane's
+    regular continuous-batching steps decode the remainder, so an escalated
+    request shares every subsequent dispatch with the tier's other lanes.
+
+    Rejected draft positions leave stale KV beyond the lane's resume
+    position; decode overwrites each such slot before attention can read it
+    (reads mask to the current length) — same invariant as the fused
+    verify_continue loop above.
+    """
+
+    from ..ops.sampling import sample_rows
+
+    def fn(params, tokens, prompt_lens, total_lens, block_tables, cache,
+           temps, key, *, max_draft):
+        B, S = tokens.shape
+        _, cache, h = fwd.prefill(
+            params, spec, tokens, total_lens, cache, block_tables,
+            return_hidden=True,
+        )
+        # Hidden state at position prompt_lens-1+i predicts draft token i;
+        # the +1 window slot is the bonus token on full acceptance.
+        pos = jnp.clip(
+            prompt_lens[:, None] - 1 + jnp.arange(max_draft + 1)[None, :], 0, S - 1
+        )
+        h_sel = jnp.take_along_axis(h, pos[:, :, None], axis=1)      # [B, Dw+1, H]
+        logits_d = fwd.logits_at(params, spec, h_sel)                # [B, Dw+1, V]
+        draft_idx = jnp.clip(
+            prompt_lens[:, None] + jnp.arange(max_draft)[None, :], 0, S - 1
+        )
+        draft = jnp.take_along_axis(tokens, draft_idx, axis=1)       # [B, Dw]
+        draft_len = total_lens - prompt_lens
+
+        logp_d = jax.nn.log_softmax(logits_d, axis=-1)
+        pred = jnp.argmax(logits_d, axis=-1).astype(jnp.int32)
+        valid = jnp.arange(max_draft)[None, :] < draft_len[:, None]
+        match = jnp.logical_and(pred[:, :max_draft] == draft, valid)
+        n_acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+
+        next_logits = jnp.take_along_axis(logits_d, n_acc[:, None, None], axis=1)[:, 0]
+        res = sample_rows(next_logits, key, temps)
+        # This tier's own logprob of each accepted draft token (output parity
+        # with verify_continue: accepted tokens report the verifier's logp).
+        draft_lp = jnp.take_along_axis(
+            logp_d[:, :max_draft], draft[:, :, None], axis=2
+        )[:, :, 0]
+        return n_acc, res.token, res.logprob, draft_lp, cache
+
+    return fn
+
+
 class TierEngine:
     """One cascade tier: quantized params + compiled execution graphs +
     page allocation. Thread-compatible: jit dispatch is GIL-friendly and the
@@ -557,6 +612,11 @@ class TierEngine:
         self._decode_sample_jit = jax.jit(
             _decode_sample, donate_argnums=(3,) if donate_cache else ()
         )
+        self._verify_admit_jit = jax.jit(
+            _make_verify_admit_fn(spec, fwd),
+            static_argnames=("max_draft",),
+            donate_argnums=(5,) if donate_cache else (),
+        )
 
         # automatic prefix caching: content-addressed KV-page reuse across
         # requests (engine/prefix_cache.py); generation then prefills only
@@ -613,6 +673,22 @@ class TierEngine:
             jnp.asarray(block_tables), jnp.asarray(temps, jnp.float32), key,
         )
         return jax.device_get((tok, lp))
+
+    def verify_admit_sample_batch(
+        self, tokens, prompt_lens, total_lens, block_tables, temps, key, *, max_draft
+    ):
+        """Scheduler escalation admission: verify [prompt + draft] rows in one
+        parallel pass (greedy acceptance), sample each row's next token at its
+        lane temperature. Returns host (n_accepted [B], next_token [B],
+        next_logprob [B], draft_logprobs [B, max_draft]); the KV pages are
+        left filled so the lane resumes decoding at prompt_len + n_accepted.
+        """
+        n_acc, tok, lp, draft_lp, self.cache = self._verify_admit_jit(
+            self.params, jnp.asarray(tokens), jnp.asarray(prompt_lens),
+            jnp.asarray(total_lens), jnp.asarray(block_tables), self.cache,
+            jnp.asarray(temps, jnp.float32), key, max_draft=max_draft,
+        )
+        return jax.device_get((n_acc, tok, lp, draft_lp))
 
     # fused offline/bench path ----------------------------------------------
     def generate(

@@ -27,7 +27,7 @@ import queue
 import threading
 import time
 from dataclasses import dataclass, field
-from typing import Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
 import numpy as np
@@ -42,10 +42,17 @@ class SchedRequest:
     prompt: list[int]
     max_new: int = 128
     temperature: float = 0.0
+    # Speculative escalation into this tier's lanes: when set, admission runs
+    # a verify pass over [prompt + draft] (engine.verify_admit_sample_batch)
+    # instead of a plain prefill — the accepted prefix lands in out_tokens in
+    # one dispatch and the lane resumes decoding after it.
+    draft: Optional[list[int]] = None
+    on_done: Optional[Callable[["SchedRequest"], None]] = None
     arrival: float = field(default_factory=time.monotonic)
     # filled by the scheduler:
     out_tokens: list[int] = field(default_factory=list)
     out_logprobs: list[float] = field(default_factory=list)
+    n_accepted: int = 0        # verified draft prefix length (draft admission)
     position: int = 0          # next position to write (== current length)
     next_token: int = PAD_ID   # token to feed at the next step
     done: bool = False
@@ -93,8 +100,14 @@ class ContinuousBatchingScheduler:
     # -------------------------------------------------------------- frontend
     def submit(
         self, prompt: Sequence[int], *, max_new: int = 128, temperature: float = 0.0,
-        request_id: Optional[str] = None,
+        request_id: Optional[str] = None, draft: Optional[Sequence[int]] = None,
+        on_done: Optional[Callable[[SchedRequest], None]] = None,
     ) -> SchedRequest:
+        """``draft``: a lower tier's output tokens — admission verifies them
+        in one parallel pass (greedy acceptance: exact at temperature 0,
+        conservative above) and the lane resumes after the accepted prefix.
+        ``on_done`` runs on the scheduler thread at retirement, before the
+        request's wait() event fires — the cascade escalation hook."""
         if len(prompt) + max_new > self.max_context:
             raise ResourceError(
                 f"prompt+max_new {len(prompt) + max_new} exceeds max_context {self.max_context}"
@@ -104,6 +117,8 @@ class ContinuousBatchingScheduler:
             prompt=list(prompt),
             max_new=max_new,
             temperature=temperature,
+            draft=list(draft)[:max_new] if draft else None,
+            on_done=on_done,
         )
         self._queue.put(req)
         return req
@@ -113,7 +128,10 @@ class ContinuousBatchingScheduler:
         return [i for i, r in enumerate(self._lanes) if r is None]
 
     def _admit(self) -> int:
-        """Move waiting requests into free lanes; batch their prefill."""
+        """Move waiting requests into free lanes. Plain requests batch one
+        prefill+sample dispatch; draft-carrying escalations batch one
+        verify+sample dispatch (accepted prefix lands immediately, the lane
+        resumes after it)."""
         free = self._free_lane_ids()
         if not free:
             return 0
@@ -131,22 +149,13 @@ class ContinuousBatchingScheduler:
         if not batch:
             return 0
 
-        S = _bucket_len(max(len(r.prompt) for _, r in batch), self.page)
-        n = len(batch)
-        tokens = np.full((n, S), PAD_ID, np.int32)
-        seq_lens = np.zeros((n,), np.int32)
-        tables = np.full((n, self.max_pages), self._oob_page, np.int32)
         try:
-            for row, (lane, req) in enumerate(batch):
-                needed = min(
-                    (len(req.prompt) + self.page) // self.page + 1, self.max_pages
-                )
+            for lane, req in batch:
+                total = len(req.prompt) + (len(req.draft) if req.draft else 0)
+                needed = min((total + self.page) // self.page + 1, self.max_pages)
                 pages = self.engine.allocator.ensure(req.request_id, needed)
                 self._tables[lane, :] = self._oob_page
                 self._tables[lane, : len(pages)] = pages
-                tokens[row, : len(req.prompt)] = req.prompt
-                seq_lens[row] = len(req.prompt)
-                tables[row] = self._tables[lane]
         except ResourceError as exc:
             for lane, req in batch:
                 # free any pages already granted to this batch (sibling
@@ -155,23 +164,96 @@ class ContinuousBatchingScheduler:
                 self._tables[lane, :] = self._oob_page
                 req.error = str(exc)
                 req.done = True
+                if req.on_done is not None:
+                    try:
+                        req.on_done(req)
+                    except Exception:  # noqa: BLE001 - hooks must not kill the loop
+                        pass
                 req._event.set()
             return 0
 
+        plain = [(lane, req) for lane, req in batch if not req.draft]
+        drafted = [(lane, req) for lane, req in batch if req.draft]
         # fold_in(1) keeps admission keys disjoint from the decode-step keys
         key = jax.random.fold_in(jax.random.key(self.steps), 1)
-        temps = np.asarray([r.temperature for _, r in batch], np.float32)
-        toks, lps = self.engine.prefill_sample_batch(tokens, seq_lens, tables, temps, key)
-        for row, (lane, req) in enumerate(batch):
-            req.next_token = int(toks[row])
-            req.out_tokens.append(req.next_token)
-            req.out_logprobs.append(float(lps[row]))
-            req.position = len(req.prompt)
+
+        if plain:
+            S = _bucket_len(max(len(r.prompt) for _, r in plain), self.page)
+            n = len(plain)
+            tokens = np.full((n, S), PAD_ID, np.int32)
+            seq_lens = np.zeros((n,), np.int32)
+            tables = np.full((n, self.max_pages), self._oob_page, np.int32)
+            for row, (lane, req) in enumerate(plain):
+                tokens[row, : len(req.prompt)] = req.prompt
+                seq_lens[row] = len(req.prompt)
+                tables[row] = self._tables[lane]
+            temps = np.asarray([r.temperature for _, r in plain], np.float32)
+            toks, lps = self.engine.prefill_sample_batch(
+                tokens, seq_lens, tables, temps, key
+            )
+            for row, (lane, req) in enumerate(plain):
+                req.next_token = int(toks[row])
+                req.out_tokens.append(req.next_token)
+                req.out_logprobs.append(float(lps[row]))
+                req.position = len(req.prompt)
+
+        if drafted:
+            d_lens = [len(req.draft) for _, req in drafted]
+            Dw = _bucket_len(max(d_lens), 8)
+            S = _bucket_len(
+                max(len(r.prompt) + dl for (_, r), dl in zip(drafted, d_lens)),
+                self.page,
+            )
+            n = len(drafted)
+            tokens = np.full((n, S), PAD_ID, np.int32)
+            p_lens = np.zeros((n,), np.int32)
+            t_lens = np.zeros((n,), np.int32)
+            tables = np.full((n, self.max_pages), self._oob_page, np.int32)
+            for row, (lane, req) in enumerate(drafted):
+                seq = req.prompt + req.draft
+                tokens[row, : len(seq)] = seq
+                p_lens[row] = len(req.prompt)
+                t_lens[row] = len(seq)
+                tables[row] = self._tables[lane]
+            temps = np.asarray([r.temperature for _, r in drafted], np.float32)
+            n_accs, toks, lps, draft_lps = self.engine.verify_admit_sample_batch(
+                tokens, p_lens, t_lens, tables, temps,
+                jax.random.fold_in(key, 2), max_draft=Dw,
+            )
+            eos = self.engine.eos_id
+            for row, (lane, req) in enumerate(drafted):
+                n_acc = int(n_accs[row])
+                req.n_accepted = n_acc
+                acc = req.draft[:n_acc]
+                acc_lp = [float(x) for x in draft_lps[row, :n_acc]]
+                if eos is not None and eos in acc:
+                    # draft carried an eos the verifier accepted: finish there
+                    k = acc.index(eos) + 1
+                    req.out_tokens.extend(acc[:k])
+                    req.out_logprobs.extend(acc_lp[:k])
+                    req.next_token = eos  # the scan retires before stepping
+                    req.position = len(req.prompt) + k
+                elif n_acc >= req.max_new:
+                    # full budget verified in one pass; no bonus token fits
+                    req.out_tokens.extend(acc[: req.max_new])
+                    req.out_logprobs.extend(acc_lp[: req.max_new])
+                    req.next_token = int(toks[row])
+                    req.position = len(req.prompt) + req.max_new
+                else:
+                    req.out_tokens.extend(acc)
+                    req.out_logprobs.extend(acc_lp)
+                    req.next_token = int(toks[row])
+                    req.out_tokens.append(req.next_token)
+                    req.out_logprobs.append(float(lps[row]))
+                    req.position = len(req.prompt) + n_acc
+
+        for lane, req in batch:  # batch order == native lowest-free-lane order
             self._lanes[lane] = req
             if self._nlanes is not None:
-                got = self._nlanes.admit(req.position, req.max_new, req.next_token)
+                budget = req.max_new - req.n_accepted if req.draft else req.max_new
+                got = self._nlanes.admit(req.position, max(budget, 0), req.next_token)
                 assert got == lane, f"native lane table diverged: {got} != {lane}"
-        return n
+        return len(batch)
 
     def _retire(self, lane: int, req: SchedRequest, error: Optional[str] = None) -> None:
         req.error = error or req.error
@@ -183,6 +265,11 @@ class ContinuousBatchingScheduler:
         if self._nlanes is not None:
             self._nlanes.release(lane)
         self.completed += 1
+        if req.on_done is not None:
+            try:
+                req.on_done(req)
+            except Exception:  # noqa: BLE001 - hooks must not kill the loop
+                pass
         req._event.set()
 
     def _scan(self) -> list[tuple[int, SchedRequest, bool]]:

@@ -74,3 +74,6 @@ class StatsResponse(BaseModel):
     acceptance_priors: list[float]
     cache: dict[str, Any]
     uptime_s: float
+    # per-tier continuous-batching lane stats (scheduled execution plane
+    # only; empty for the fused pipeline)
+    schedulers: list[dict[str, Any]] = []

@@ -148,6 +148,7 @@ def build_app(
             acceptance_priors=s["acceptance_priors"],
             cache=s["cache"],
             uptime_s=time.time() - request.app["start_time"],
+            schedulers=s.get("schedulers", []),
         )
         return web.json_response(payload.model_dump())
 

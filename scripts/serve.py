@@ -134,6 +134,11 @@ def main() -> None:
     ap.add_argument("--port", type=int, default=None)
     ap.add_argument("--host", default=None)
     ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument(
+        "--scheduled", action="store_true",
+        help="continuous-batching execution plane (per-tier lane schedulers "
+        "with draft-verify escalation admission; engine-backed stages only)",
+    )
     args = ap.parse_args()
 
     setup_logging("INFO")
@@ -160,20 +165,28 @@ def main() -> None:
         predictor = MLPQualityPredictor(n_stages=len(stages))
         predictor.fit(X, y, epochs=20, patience=5)
 
-    pipeline = AdaptiveCascadePipeline(
-        stages,
-        predictor,
-        PipelineConfig(
-            lam=serving.optimization.lambda_value,
-            strategy=serving.optimization.strategy,
-            risk_alpha=serving.optimization.risk_alpha,
-            risk_beta=serving.optimization.risk_beta,
-            enable_caching=serving.cache.enable,
-            max_concurrent=serving.server.max_concurrent,
-            cache_ttl_s=serving.cache.ttl_s,
-            cache_max_bytes=serving.cache.max_bytes,
-        ),
+    pcfg = PipelineConfig(
+        lam=serving.optimization.lambda_value,
+        strategy=serving.optimization.strategy,
+        risk_alpha=serving.optimization.risk_alpha,
+        risk_beta=serving.optimization.risk_beta,
+        enable_caching=serving.cache.enable,
+        max_concurrent=serving.server.max_concurrent,
+        cache_ttl_s=serving.cache.ttl_s,
+        cache_max_bytes=serving.cache.max_bytes,
     )
+    if args.scheduled or serving.server.scheduled_batching:
+        from adaptive_sd_tpu.cascade import ScheduledCascadePipeline
+
+        pipeline = ScheduledCascadePipeline(
+            stages,
+            predictor,
+            pcfg,
+            max_batch=serving.server.max_batch_lanes,
+            max_context=serving.server.max_context,
+        )
+    else:
+        pipeline = AdaptiveCascadePipeline(stages, predictor, pcfg)
     optimizer = None
     if serving.optimization.enable_dynamic_cost:
         optimizer = DynamicCostOptimizer(

@@ -1,0 +1,224 @@
+"""Continuous batching x cascade integration: draft (verify) lane admission
+in the scheduler, and the ScheduledCascadePipeline end-to-end — including
+exact output equivalence with the fused AdaptiveCascadePipeline at
+temperature 0 (greedy decoding is deterministic, so both execution planes
+must produce identical text)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from adaptive_sd_tpu.cascade import (
+    AdaptiveCascadePipeline,
+    EngineTextStage,
+    PipelineConfig,
+    ScheduledCascadePipeline,
+    StageManager,
+)
+from adaptive_sd_tpu.core.types import PredictionResult, RequestContext
+from adaptive_sd_tpu.engine import TierEngine
+from adaptive_sd_tpu.engine.scheduler import ContinuousBatchingScheduler
+from adaptive_sd_tpu.models import TINY, init_params
+
+PAGE = 16
+
+
+@pytest.fixture(scope="module")
+def engine():
+    params = init_params(TINY, jax.random.key(0), dtype=jnp.float32)
+    return TierEngine(TINY, params, page_size=PAGE, n_pages=128, use_pallas=False)
+
+
+class TestDraftAdmission:
+    """engine.verify_admit_sample_batch through the scheduler's draft path."""
+
+    def test_self_draft_fully_accepted(self, engine):
+        prompt = [3, 5, 7, 9, 11]
+        ref = engine.generate([prompt], max_new=8)[0].token_ids.tolist()
+        sched = ContinuousBatchingScheduler(engine, max_batch=2, max_context=128)
+        req = sched.submit(prompt, max_new=8, draft=ref)
+        sched.run_until_idle()
+        assert req.done and req.error is None
+        assert req.n_accepted == 8  # the model always agrees with itself
+        assert req.out_tokens == ref
+
+    def test_corrupted_draft_heals_to_greedy(self, engine):
+        # Greedy decoding is deterministic: whatever junk the draft carries,
+        # the verified + lane-decoded output must equal plain generation.
+        prompt = [2, 4, 6, 8]
+        ref = engine.generate([prompt], max_new=8)[0].token_ids.tolist()
+        bad = list(ref)
+        bad[3] = (bad[3] + 1) % (TINY.vocab_size - 1) + 1  # corrupt token 3
+        sched = ContinuousBatchingScheduler(engine, max_batch=2, max_context=128)
+        req = sched.submit(prompt, max_new=8, draft=bad)
+        sched.run_until_idle()
+        assert req.done and req.error is None
+        assert req.n_accepted == 3  # accepted exactly up to the corruption
+        assert req.out_tokens == ref
+
+    def test_mixed_plain_and_draft_batch(self, engine):
+        p1, p2 = [1, 2, 3], [4, 5, 6, 7]
+        ref1 = engine.generate([p1], max_new=6)[0].token_ids.tolist()
+        ref2 = engine.generate([p2], max_new=6)[0].token_ids.tolist()
+        sched = ContinuousBatchingScheduler(engine, max_batch=4, max_context=128)
+        r1 = sched.submit(p1, max_new=6)               # plain admission
+        r2 = sched.submit(p2, max_new=6, draft=ref2)   # draft admission
+        sched.run_until_idle()
+        assert r1.out_tokens == ref1
+        assert r2.out_tokens == ref2
+        assert r2.n_accepted == 6
+
+    def test_draft_longer_than_budget_truncated(self, engine):
+        prompt = [5, 6, 7]
+        ref = engine.generate([prompt], max_new=8)[0].token_ids.tolist()
+        sched = ContinuousBatchingScheduler(engine, max_batch=2, max_context=128)
+        req = sched.submit(prompt, max_new=4, draft=ref)  # 8-token draft, budget 4
+        sched.run_until_idle()
+        assert req.done
+        assert req.out_tokens == ref[:4]
+        assert len(req.out_tokens) == 4
+
+    def test_sampled_draft_admission_completes(self, engine):
+        prompt = [9, 8, 7]
+        draft = engine.generate([prompt], max_new=6)[0].token_ids.tolist()
+        sched = ContinuousBatchingScheduler(engine, max_batch=2, max_context=128)
+        req = sched.submit(prompt, max_new=6, temperature=0.8, draft=draft)
+        sched.run_until_idle()
+        assert req.done and req.error is None
+        assert len(req.out_tokens) == 6
+        assert 0 <= req.n_accepted <= 6
+
+    def test_pages_freed_after_draft_requests(self, engine):
+        free0 = engine.allocator.stats().free_pages
+        sched = ContinuousBatchingScheduler(engine, max_batch=2, max_context=128)
+        draft = engine.generate([[1, 2]], max_new=4)[0].token_ids.tolist()
+        for i in range(5):
+            sched.submit([1, 2], max_new=4, draft=draft if i % 2 else None)
+        sched.run_until_idle()
+        assert engine.allocator.stats().free_pages == free0
+
+
+class FixedPredictor:
+    def __init__(self, q):
+        self.q = q
+
+    def predict(self, prompt, draft, logprobs, stage):
+        return PredictionResult(quality_score=self.q)
+
+
+def _tok(text):
+    return [(ord(c) % (TINY.vocab_size - 1)) + 1 for c in text[:48]] or [1]
+
+
+def _detok(ids):
+    return " ".join(str(int(i)) for i in ids)
+
+
+@pytest.fixture(scope="module")
+def tiers():
+    stages = []
+    for i, (name, cost) in enumerate([("small", 1.0), ("large", 4.0)]):
+        params = init_params(TINY, jax.random.key(i + 1), dtype=jnp.float32)
+        eng = TierEngine(TINY, params, page_size=PAGE, n_pages=256, use_pallas=False)
+        stages.append(EngineTextStage(eng, _tok, _detok, name=name, cost_per_token=cost))
+    return stages
+
+
+class TestScheduledCascadePipeline:
+    def test_stops_at_tier0_on_confident_prediction(self, tiers):
+        pipe = ScheduledCascadePipeline(
+            StageManager(tiers), FixedPredictor(0.95),
+            PipelineConfig(lam=1.0, enable_caching=False),
+        )
+        try:
+            res = pipe.process_request(
+                RequestContext(prompt="easy one", max_tokens=8), timeout=120
+            )
+            assert res.succeeded, res.error
+            assert res.final_stage == 0
+        finally:
+            pipe.shutdown()
+
+    def test_escalates_via_draft_lanes(self, tiers):
+        pipe = ScheduledCascadePipeline(
+            StageManager(tiers), FixedPredictor(0.4),
+            PipelineConfig(lam=0.01, enable_caching=False),
+        )
+        try:
+            res = pipe.process_request(
+                RequestContext(prompt="hard one", max_tokens=8), timeout=120
+            )
+            assert res.succeeded, res.error
+            assert res.final_stage == 1
+            # tier 1 ran as a draft (verify) admission, not a plain re-run
+            assert res.stage_results[1].output.finish_reason.startswith(
+                "spec_accepted="
+            )
+        finally:
+            pipe.shutdown()
+
+    def test_matches_fused_pipeline_at_temperature0(self, tiers):
+        """Both execution planes must produce identical text at temperature 0
+        for identical decisions — fused verify_continue and scheduled
+        draft-lane admission are two implementations of one contract."""
+        prompts = ["alpha beta", "gamma delta epsilon", "zeta"]
+        fused = AdaptiveCascadePipeline(
+            StageManager(tiers), FixedPredictor(0.4),
+            PipelineConfig(lam=0.01, enable_caching=False),
+        )
+        fused_res = [
+            fused.process_request(RequestContext(prompt=p, max_tokens=8))
+            for p in prompts
+        ]
+        sched = ScheduledCascadePipeline(
+            StageManager(tiers), FixedPredictor(0.4),
+            PipelineConfig(lam=0.01, enable_caching=False),
+        )
+        try:
+            sched_res = [
+                sched.process_request(RequestContext(prompt=p, max_tokens=8),
+                                      timeout=120)
+                for p in prompts
+            ]
+        finally:
+            sched.shutdown()
+        for f, s in zip(fused_res, sched_res):
+            assert f.final_stage == s.final_stage == 1
+            assert f.text == s.text
+
+    def test_concurrent_submissions_all_complete(self, tiers):
+        pipe = ScheduledCascadePipeline(
+            StageManager(tiers), FixedPredictor(0.95),
+            PipelineConfig(lam=1.0, enable_caching=False),
+            max_batch=2,
+        )
+        try:
+            jobs = [
+                pipe.submit(RequestContext(prompt=f"req number {i}", max_tokens=6))
+                for i in range(6)
+            ]
+            for j in jobs:
+                assert j.wait(timeout=180)
+                assert j.result is not None and j.result.succeeded
+            stats = pipe.get_stats()
+            assert stats["total_requests"] == 6
+            assert stats["schedulers"][0]["completed"] == 6
+        finally:
+            pipe.shutdown()
+
+    def test_stats_and_stage_distribution(self, tiers):
+        pipe = ScheduledCascadePipeline(
+            StageManager(tiers), FixedPredictor(0.4),
+            PipelineConfig(lam=0.01, enable_caching=False),
+        )
+        try:
+            pipe.batch_process(
+                [RequestContext(prompt=f"p{i}", max_tokens=6) for i in range(3)],
+                timeout=180,
+            )
+            s = pipe.get_stats()
+            assert s["total_requests"] == 3
+            assert s["stage_distribution"][1] == 1.0  # all escalated
+        finally:
+            pipe.shutdown()
