@@ -103,6 +103,10 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
                     max_batch=max_batch,
                     max_context=max_context,
                     admission_wait_s=admission_wait_s,
+                    # sampled lanes carry their top-K support so the next
+                    # tier can verify this tier's draft with the exact
+                    # stochastic rule (stage.spec_topk = 0 on final tiers)
+                    spec_topk=int(getattr(stage, "spec_topk", 0)),
                 )
             )
         self._started = False
@@ -138,7 +142,7 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
         self._submit_tier(job, 0, draft=None)
         return job
 
-    def _submit_tier(self, job: _CascadeJob, tier: int, draft) -> None:
+    def _submit_tier(self, job: _CascadeJob, tier: int, draft, draft_q=None) -> None:
         stage = self.stages[tier]
         prompt_toks = stage.tokenize(job.request.prompt)
         self.schedulers[tier].submit(
@@ -147,6 +151,7 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
             temperature=job.request.temperature,
             request_id=f"{job.request.request_id}.t{tier}",
             draft=draft,
+            draft_q=draft_q,
             on_done=lambda sreq, _j=job, _t=tier: self._on_tier_done(_j, _t, sreq),
         )
 
@@ -242,7 +247,22 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
                     if p_raw >= self.config.min_draft_quality_for_verify
                     else None
                 )
-                self._submit_tier(job, tier + 1, draft=draft)
+                # Sampled lanes carry their per-token support: the next
+                # tier's verify admission then uses the exact stochastic
+                # rejection rule (emitted tokens stay distributed as that
+                # tier's own sampling).
+                draft_q = None
+                if (
+                    draft
+                    and job.request.temperature > 0
+                    and len(sreq.out_topk_ids) == len(sreq.out_tokens)
+                ):
+                    draft_q = (
+                        np.asarray(sreq.out_logprobs, np.float32),
+                        np.stack(sreq.out_topk_ids),
+                        np.stack(sreq.out_topk_probs),
+                    )
+                self._submit_tier(job, tier + 1, draft=draft, draft_q=draft_q)
         except Exception as exc:  # noqa: BLE001 - jobs must resolve, not hang
             self._finalize(job, error=f"{type(exc).__name__}: {exc}")
 

@@ -420,12 +420,23 @@ def _make_verify_continue_fn(spec: ModelSpec, fwd):
 
 def _make_verify_admit_fn(spec: ModelSpec, fwd):
     """Verify-only pass for continuous-batching lane admission (scheduler
-    escalations): ONE prefill over [prompt + draft] greedily accepts the
-    longest draft prefix matching this model's argmax, then samples this
-    tier's own next token (per-lane temperature) at the first mismatch — or
-    right after the draft on full acceptance. No decode loop: the lane's
-    regular continuous-batching steps decode the remainder, so an escalated
-    request shares every subsequent dispatch with the tier's other lanes.
+    escalations): ONE prefill over [prompt + draft] verifies the draft, then
+    this tier's own next token is emitted (per-lane temperature) at the first
+    rejection — or right after the draft on full acceptance. No decode loop:
+    the lane's regular continuous-batching steps decode the remainder, so an
+    escalated request shares every subsequent dispatch with the tier's other
+    lanes.
+
+    Acceptance rule per row: with ``draft_q`` (the draft tier's per-token
+    logprob + top-K support) and temperature > 0, the EXACT stochastic
+    rejection rule (ops.sampling.speculative_accept — emitted tokens stay
+    distributed as this tier's own sampling); otherwise greedy argmax
+    matching (exact at temperature 0).
+
+    ``return_topk`` > 0 additionally returns this tier's own top-K support of
+    the per-lane-temperature-adjusted distribution at every draft window slot
+    (accepted tokens + bonus), so a later tier can stochastically verify the
+    lane's output in turn (exact 3+ tier chains in scheduled mode).
 
     Rejected draft positions leave stale KV beyond the lane's resume
     position; decode overwrites each such slot before attention can read it
@@ -436,7 +447,7 @@ def _make_verify_admit_fn(spec: ModelSpec, fwd):
     from ..ops.sampling import sample_rows
 
     def fn(params, tokens, prompt_lens, total_lens, block_tables, cache,
-           temps, key, *, max_draft):
+           temps, key, draft_q, *, max_draft, return_topk=0):
         B, S = tokens.shape
         _, cache, h = fwd.prefill(
             params, spec, tokens, total_lens, cache, block_tables,
@@ -455,20 +466,55 @@ def _make_verify_admit_fn(spec: ModelSpec, fwd):
         draft = jnp.take_along_axis(tokens, draft_idx, axis=1)       # [B, Dw]
         draft_len = total_lens - prompt_lens
 
+        # greedy path: longest prefix matching this model's argmax
         logp_d = jax.nn.log_softmax(logits_d, axis=-1)
         pred = jnp.argmax(logits_d, axis=-1).astype(jnp.int32)
         valid = jnp.arange(max_draft)[None, :] < draft_len[:, None]
         match = jnp.logical_and(pred[:, :max_draft] == draft, valid)
         n_acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
-
-        next_logits = jnp.take_along_axis(logits_d, n_acc[:, None, None], axis=1)[:, 0]
-        res = sample_rows(next_logits, key, temps)
-        # This tier's own logprob of each accepted draft token (output parity
-        # with verify_continue: accepted tokens report the verifier's logp).
         draft_lp = jnp.take_along_axis(
             logp_d[:, :max_draft], draft[:, :, None], axis=2
         )[:, :, 0]
-        return n_acc, res.token, res.logprob, draft_lp, cache
+        logp_sel = logp_d
+
+        if draft_q:
+            from ..ops.sampling import speculative_accept
+
+            dlp_q, q_ids, q_probs = draft_q
+            stoch = temps > 0.0
+            safe_t = jnp.where(stoch, temps, 1.0)
+            # per-lane-temperature adjusted target distribution (lane
+            # sampling is temperature-only; top_p is not applied in
+            # scheduled mode)
+            logp_t = jax.nn.log_softmax(
+                logits_d / safe_t[:, None, None], axis=-1
+            )
+            key, ka = jax.random.split(key)
+            n_acc_s, tok_s, lp_s = speculative_accept(
+                ka, draft, dlp_q, q_ids, q_probs, logp_t, draft_len
+            )
+            n_acc = jnp.where(stoch, n_acc_s, n_acc)
+            draft_lp_s = jnp.take_along_axis(
+                logp_t[:, :max_draft], draft[:, :, None], axis=2
+            )[:, :, 0]
+            draft_lp = jnp.where(stoch[:, None], draft_lp_s, draft_lp)
+            logp_sel = logp_t  # support/bonus scoring under the adjusted dist
+
+        next_logits = jnp.take_along_axis(logits_d, n_acc[:, None, None], axis=1)[:, 0]
+        res = sample_rows(next_logits, key, temps)
+        tok, lp = res.token, res.logprob
+        if draft_q:
+            # stochastic rows emit the residual/bonus sample from the exact
+            # rule instead of an independent re-sample
+            tok = jnp.where(stoch, tok_s, tok)
+            lp = jnp.where(stoch, lp_s, lp)
+
+        if return_topk:
+            w_lp, w_ids = jax.lax.top_k(logp_sel, return_topk)  # [B, Dw+1, K]
+            q_out = (w_ids.astype(jnp.int32), jnp.exp(w_lp))
+        else:
+            q_out = ()
+        return n_acc, tok, lp, draft_lp, q_out, cache
 
     return fn
 
@@ -594,27 +640,37 @@ class TierEngine:
         # fused single-step + sample graphs for the continuous-batching
         # scheduler: ONE dispatch per scheduler step (forward + per-lane
         # temperature sampling), one small host fetch (tokens/logprobs)
-        from ..ops.sampling import sample_rows
+        from ..ops.sampling import sample_rows, sample_rows_with_topk
 
-        def _prefill_sample(params, tokens, seq_lens, block_tables, cache, temps, key):
+        def _prefill_sample(params, tokens, seq_lens, block_tables, cache, temps,
+                            key, *, return_topk=0):
             logits, cache = fwd.prefill(params, spec, tokens, seq_lens, cache, block_tables)
+            if return_topk:
+                res, qi, qp = sample_rows_with_topk(logits, key, temps, return_topk)
+                return res.token, res.logprob, (qi, qp), cache
             res = sample_rows(logits, key, temps)
-            return res.token, res.logprob, cache
+            return res.token, res.logprob, (), cache
 
-        def _decode_sample(params, tokens, positions, cache, block_tables, temps, key):
+        def _decode_sample(params, tokens, positions, cache, block_tables, temps,
+                           key, *, return_topk=0):
             logits, cache = fwd.decode_step(params, spec, tokens, positions, cache, block_tables)
+            if return_topk:
+                res, qi, qp = sample_rows_with_topk(logits, key, temps, return_topk)
+                return res.token, res.logprob, (qi, qp), cache
             res = sample_rows(logits, key, temps)
-            return res.token, res.logprob, cache
+            return res.token, res.logprob, (), cache
 
         self._prefill_sample_jit = jax.jit(
-            _prefill_sample, donate_argnums=(4,) if donate_cache else ()
+            _prefill_sample, static_argnames=("return_topk",),
+            donate_argnums=(4,) if donate_cache else (),
         )
         self._decode_sample_jit = jax.jit(
-            _decode_sample, donate_argnums=(3,) if donate_cache else ()
+            _decode_sample, static_argnames=("return_topk",),
+            donate_argnums=(3,) if donate_cache else (),
         )
         self._verify_admit_jit = jax.jit(
             _make_verify_admit_fn(spec, fwd),
-            static_argnames=("max_draft",),
+            static_argnames=("max_draft", "return_topk"),
             donate_argnums=(5,) if donate_cache else (),
         )
 
@@ -656,39 +712,52 @@ class TierEngine:
         )
         return logits
 
-    def prefill_sample_batch(self, tokens, seq_lens, block_tables, temps, key):
+    def prefill_sample_batch(self, tokens, seq_lens, block_tables, temps, key,
+                             *, return_topk=0):
         """Fused prefill + per-row sample: returns host (tokens [B], logprobs
-        [B]) in one dispatch (scheduler admission path)."""
-        tok, lp, self.cache = self._prefill_sample_jit(
+        [B], q_out) in one dispatch (scheduler admission path). q_out is ()
+        or (topk_ids [B, K], topk_probs [B, K]) when ``return_topk`` — the
+        per-lane draft support a later tier's stochastic verifier needs."""
+        tok, lp, q_out, self.cache = self._prefill_sample_jit(
             self.params, jnp.asarray(tokens), jnp.asarray(seq_lens),
-            jnp.asarray(block_tables), self.cache, jnp.asarray(temps, jnp.float32), key,
+            jnp.asarray(block_tables), self.cache, jnp.asarray(temps, jnp.float32),
+            key, return_topk=return_topk,
         )
-        return jax.device_get((tok, lp))
+        return jax.device_get((tok, lp, q_out))
 
-    def decode_sample_batch(self, tokens, positions, block_tables, temps, key):
+    def decode_sample_batch(self, tokens, positions, block_tables, temps, key,
+                            *, return_topk=0):
         """Fused decode step + per-row sample (scheduler hot loop): one
-        dispatch, one [B]-sized fetch."""
-        tok, lp, self.cache = self._decode_sample_jit(
+        dispatch, one [B]-sized fetch (plus [B, K] support rows when
+        ``return_topk``)."""
+        tok, lp, q_out, self.cache = self._decode_sample_jit(
             self.params, jnp.asarray(tokens), jnp.asarray(positions), self.cache,
             jnp.asarray(block_tables), jnp.asarray(temps, jnp.float32), key,
+            return_topk=return_topk,
         )
-        return jax.device_get((tok, lp))
+        return jax.device_get((tok, lp, q_out))
 
     def verify_admit_sample_batch(
-        self, tokens, prompt_lens, total_lens, block_tables, temps, key, *, max_draft
+        self, tokens, prompt_lens, total_lens, block_tables, temps, key, *,
+        max_draft, draft_q=(), return_topk=0,
     ):
         """Scheduler escalation admission: verify [prompt + draft] rows in one
-        parallel pass (greedy acceptance), sample each row's next token at its
-        lane temperature. Returns host (n_accepted [B], next_token [B],
-        next_logprob [B], draft_logprobs [B, max_draft]); the KV pages are
-        left filled so the lane resumes decoding at prompt_len + n_accepted.
-        """
-        n_acc, tok, lp, draft_lp, self.cache = self._verify_admit_jit(
+        parallel pass, emit each row's next token at its lane temperature.
+        ``draft_q`` = () for greedy acceptance, or (draft_lp [B, Dw], q_ids
+        [B, Dw, K], q_probs [B, Dw, K]) for the exact stochastic rule on
+        rows with temperature > 0. Returns host (n_accepted [B], next_token
+        [B], next_logprob [B], draft_logprobs [B, max_draft], q_out) where
+        q_out is () or (topk_ids [B, Dw+1, K'], topk_probs) when
+        ``return_topk`` = K' > 0. The KV pages are left filled so the lane
+        resumes decoding at prompt_len + n_accepted."""
+        dq = tuple(jnp.asarray(a) for a in draft_q) if draft_q else ()
+        n_acc, tok, lp, draft_lp, q_out, self.cache = self._verify_admit_jit(
             self.params, jnp.asarray(tokens), jnp.asarray(prompt_lens),
             jnp.asarray(total_lens), jnp.asarray(block_tables), self.cache,
-            jnp.asarray(temps, jnp.float32), key, max_draft=max_draft,
+            jnp.asarray(temps, jnp.float32), key, dq,
+            max_draft=max_draft, return_topk=return_topk,
         )
-        return jax.device_get((n_acc, tok, lp, draft_lp))
+        return jax.device_get((n_acc, tok, lp, draft_lp, q_out))
 
     # fused offline/bench path ----------------------------------------------
     def generate(

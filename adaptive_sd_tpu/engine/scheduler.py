@@ -47,11 +47,20 @@ class SchedRequest:
     # instead of a plain prefill — the accepted prefix lands in out_tokens in
     # one dispatch and the lane resumes decoding after it.
     draft: Optional[list[int]] = None
+    # Draft support (logprobs [d], topk_ids [d, K], topk_probs [d, K]) from
+    # the draft tier: with temperature > 0 the verify admission then uses the
+    # EXACT stochastic rejection rule instead of greedy argmax matching.
+    draft_q: Optional[tuple] = None
     on_done: Optional[Callable[["SchedRequest"], None]] = None
     arrival: float = field(default_factory=time.monotonic)
     # filled by the scheduler:
     out_tokens: list[int] = field(default_factory=list)
     out_logprobs: list[float] = field(default_factory=list)
+    # per-token top-K support of this tier's own sampling distribution
+    # (populated when the scheduler's spec_topk > 0 and temperature > 0) —
+    # the draft_q handed to the NEXT tier on escalation
+    out_topk_ids: list = field(default_factory=list)
+    out_topk_probs: list = field(default_factory=list)
     n_accepted: int = 0        # verified draft prefix length (draft admission)
     position: int = 0          # next position to write (== current length)
     next_token: int = PAD_ID   # token to feed at the next step
@@ -72,10 +81,15 @@ class ContinuousBatchingScheduler:
         max_batch: int = 8,
         max_context: int = 2048,
         admission_wait_s: float = 0.002,
+        spec_topk: int = 0,
     ) -> None:
+        """``spec_topk`` > 0: sampled lanes (temperature > 0) also carry the
+        top-K support of each emitted token's distribution, so a later tier
+        can verify this tier's lane output with the exact stochastic rule."""
         self.engine = engine
         self.max_batch = max_batch
         self.max_context = max_context
+        self.spec_topk = spec_topk
         self.page = engine.page_size
         self.max_pages = (max_context + self.page - 1) // self.page
         self._lanes: list[Optional[SchedRequest]] = [None] * max_batch
@@ -101,23 +115,33 @@ class ContinuousBatchingScheduler:
     def submit(
         self, prompt: Sequence[int], *, max_new: int = 128, temperature: float = 0.0,
         request_id: Optional[str] = None, draft: Optional[Sequence[int]] = None,
+        draft_q: Optional[tuple] = None,
         on_done: Optional[Callable[[SchedRequest], None]] = None,
     ) -> SchedRequest:
         """``draft``: a lower tier's output tokens — admission verifies them
-        in one parallel pass (greedy acceptance: exact at temperature 0,
-        conservative above) and the lane resumes after the accepted prefix.
-        ``on_done`` runs on the scheduler thread at retirement, before the
-        request's wait() event fires — the cascade escalation hook."""
+        in one parallel pass and the lane resumes after the accepted prefix.
+        With ``draft_q`` (logprobs [d], topk_ids [d, K], topk_probs [d, K])
+        and temperature > 0 the acceptance uses the exact stochastic
+        rejection rule; otherwise greedy argmax matching (exact at
+        temperature 0, conservative above). ``on_done`` runs on the
+        scheduler thread at retirement, before the request's wait() event
+        fires — the cascade escalation hook."""
         if len(prompt) + max_new > self.max_context:
             raise ResourceError(
                 f"prompt+max_new {len(prompt) + max_new} exceeds max_context {self.max_context}"
             )
+        draft = list(draft)[:max_new] if draft else None
+        if draft_q is not None and draft:
+            draft_q = tuple(np.asarray(a)[: len(draft)] for a in draft_q)
+        else:
+            draft_q = None
         req = SchedRequest(
             request_id=request_id or f"req{time.monotonic_ns()}",
             prompt=list(prompt),
             max_new=max_new,
             temperature=temperature,
-            draft=list(draft)[:max_new] if draft else None,
+            draft=draft,
+            draft_q=draft_q,
             on_done=on_done,
         )
         self._queue.put(req)
@@ -188,64 +212,33 @@ class ContinuousBatchingScheduler:
                 seq_lens[row] = len(req.prompt)
                 tables[row] = self._tables[lane]
             temps = np.asarray([r.temperature for _, r in plain], np.float32)
-            toks, lps = self.engine.prefill_sample_batch(
-                tokens, seq_lens, tables, temps, key
+            topk = self.spec_topk if any(r.temperature > 0 for _, r in plain) else 0
+            toks, lps, q_out = self.engine.prefill_sample_batch(
+                tokens, seq_lens, tables, temps, key, return_topk=topk,
             )
             for row, (lane, req) in enumerate(plain):
                 req.next_token = int(toks[row])
                 req.out_tokens.append(req.next_token)
                 req.out_logprobs.append(float(lps[row]))
+                if q_out and req.temperature > 0:
+                    req.out_topk_ids.append(q_out[0][row])
+                    req.out_topk_probs.append(q_out[1][row])
                 req.position = len(req.prompt)
 
         if drafted:
-            d_lens = [len(req.draft) for _, req in drafted]
-            Dw = _bucket_len(max(d_lens), 8)
-            S = _bucket_len(
-                max(len(r.prompt) + dl for (_, r), dl in zip(drafted, d_lens)),
-                self.page,
-            )
-            n = len(drafted)
-            tokens = np.full((n, S), PAD_ID, np.int32)
-            p_lens = np.zeros((n,), np.int32)
-            t_lens = np.zeros((n,), np.int32)
-            tables = np.full((n, self.max_pages), self._oob_page, np.int32)
-            for row, (lane, req) in enumerate(drafted):
-                seq = req.prompt + req.draft
-                tokens[row, : len(seq)] = seq
-                p_lens[row] = len(req.prompt)
-                t_lens[row] = len(seq)
-                tables[row] = self._tables[lane]
-            temps = np.asarray([r.temperature for _, r in drafted], np.float32)
-            n_accs, toks, lps, draft_lps = self.engine.verify_admit_sample_batch(
-                tokens, p_lens, t_lens, tables, temps,
-                jax.random.fold_in(key, 2), max_draft=Dw,
-            )
-            eos = self.engine.eos_id
-            for row, (lane, req) in enumerate(drafted):
-                n_acc = int(n_accs[row])
-                req.n_accepted = n_acc
-                acc = req.draft[:n_acc]
-                acc_lp = [float(x) for x in draft_lps[row, :n_acc]]
-                if eos is not None and eos in acc:
-                    # draft carried an eos the verifier accepted: finish there
-                    k = acc.index(eos) + 1
-                    req.out_tokens.extend(acc[:k])
-                    req.out_logprobs.extend(acc_lp[:k])
-                    req.next_token = eos  # the scan retires before stepping
-                    req.position = len(req.prompt) + k
-                elif n_acc >= req.max_new:
-                    # full budget verified in one pass; no bonus token fits
-                    req.out_tokens.extend(acc[: req.max_new])
-                    req.out_logprobs.extend(acc_lp[: req.max_new])
-                    req.next_token = int(toks[row])
-                    req.position = len(req.prompt) + req.max_new
-                else:
-                    req.out_tokens.extend(acc)
-                    req.out_logprobs.extend(acc_lp)
-                    req.next_token = int(toks[row])
-                    req.out_tokens.append(req.next_token)
-                    req.out_logprobs.append(float(lps[row]))
-                    req.position = len(req.prompt) + n_acc
+            # one verify dispatch per (stochastic support width) subgroup:
+            # rows with draft_q + temperature > 0 use the exact rejection
+            # rule, the rest greedy argmax matching
+            groups: dict = {}
+            for lane, req in drafted:
+                kq = (
+                    int(req.draft_q[1].shape[-1])
+                    if req.draft_q is not None and req.temperature > 0
+                    else None
+                )
+                groups.setdefault(kq, []).append((lane, req))
+            for gi, (kq, grp) in enumerate(groups.items()):
+                self._admit_drafted(grp, jax.random.fold_in(key, 2 + gi), kq)
 
         for lane, req in batch:  # batch order == native lowest-free-lane order
             self._lanes[lane] = req
@@ -254,6 +247,91 @@ class ContinuousBatchingScheduler:
                 got = self._nlanes.admit(req.position, max(budget, 0), req.next_token)
                 assert got == lane, f"native lane table diverged: {got} != {lane}"
         return len(batch)
+
+    def _admit_drafted(self, drafted, key, kq) -> None:
+        """One fused verify+sample dispatch for a drafted-admission subgroup.
+        ``kq``: support width for the exact stochastic rule, or None for
+        greedy argmax acceptance."""
+        d_lens = [len(req.draft) for _, req in drafted]
+        Dw = _bucket_len(max(d_lens), 8)
+        S = _bucket_len(
+            max(len(r.prompt) + dl for (_, r), dl in zip(drafted, d_lens)),
+            self.page,
+        )
+        n = len(drafted)
+        tokens = np.full((n, S), PAD_ID, np.int32)
+        p_lens = np.zeros((n,), np.int32)
+        t_lens = np.zeros((n,), np.int32)
+        tables = np.full((n, self.max_pages), self._oob_page, np.int32)
+        for row, (lane, req) in enumerate(drafted):
+            seq = req.prompt + req.draft
+            tokens[row, : len(seq)] = seq
+            p_lens[row] = len(req.prompt)
+            t_lens[row] = len(seq)
+            tables[row] = self._tables[lane]
+        temps = np.asarray([r.temperature for _, r in drafted], np.float32)
+        dq = ()
+        if kq is not None:
+            dlp = np.zeros((n, Dw), np.float32)
+            qids = np.zeros((n, Dw, kq), np.int32)
+            qpr = np.zeros((n, Dw, kq), np.float32)
+            for row, (_, req) in enumerate(drafted):
+                d = len(req.draft)
+                lp_a, id_a, pr_a = req.draft_q
+                dlp[row, :d] = np.asarray(lp_a, np.float32)[:d]
+                qids[row, :d] = np.asarray(id_a, np.int32)[:d]
+                qpr[row, :d] = np.asarray(pr_a, np.float32)[:d]
+            dq = (dlp, qids, qpr)
+        topk = self.spec_topk if any(r.temperature > 0 for _, r in drafted) else 0
+        n_accs, toks, lps, draft_lps, q_out = self.engine.verify_admit_sample_batch(
+            tokens, p_lens, t_lens, tables, temps, key,
+            max_draft=Dw, draft_q=dq, return_topk=topk,
+        )
+        eos = self.engine.eos_id
+        for row, (lane, req) in enumerate(drafted):
+            n_acc = int(n_accs[row])
+            req.n_accepted = n_acc
+            acc = req.draft[:n_acc]
+            acc_lp = [float(x) for x in draft_lps[row, :n_acc]]
+            want_q = bool(q_out) and req.temperature > 0
+
+            def keep_q(count: int, row=row, q_out=q_out) -> tuple[list, list]:
+                return list(q_out[0][row, :count]), list(q_out[1][row, :count])
+
+            if eos is not None and eos in acc:
+                # draft carried an eos the verifier accepted: finish there
+                k = acc.index(eos) + 1
+                req.out_tokens.extend(acc[:k])
+                req.out_logprobs.extend(acc_lp[:k])
+                if want_q:
+                    qi, qp = keep_q(k)
+                    req.out_topk_ids.extend(qi)
+                    req.out_topk_probs.extend(qp)
+                req.next_token = eos  # the scan retires before stepping
+                req.position = len(req.prompt) + k
+            elif n_acc >= req.max_new:
+                # full budget verified in one pass; no bonus token fits
+                req.out_tokens.extend(acc[: req.max_new])
+                req.out_logprobs.extend(acc_lp[: req.max_new])
+                if want_q:
+                    qi, qp = keep_q(req.max_new)
+                    req.out_topk_ids.extend(qi)
+                    req.out_topk_probs.extend(qp)
+                req.next_token = int(toks[row])
+                req.position = len(req.prompt) + req.max_new
+            else:
+                req.out_tokens.extend(acc)
+                req.out_logprobs.extend(acc_lp)
+                req.next_token = int(toks[row])
+                req.out_tokens.append(req.next_token)
+                req.out_logprobs.append(float(lps[row]))
+                if want_q:
+                    # accepted rows + the bonus row (slot n_acc scores the
+                    # emitted token's distribution — marginally the target)
+                    qi, qp = keep_q(n_acc + 1)
+                    req.out_topk_ids.extend(qi)
+                    req.out_topk_probs.extend(qp)
+                req.position = len(req.prompt) + n_acc
 
     def _retire(self, lane: int, req: SchedRequest, error: Optional[str] = None) -> None:
         req.error = error or req.error
@@ -326,13 +404,18 @@ class ContinuousBatchingScheduler:
             temps[lane] = req.temperature
 
         self.steps += 1
-        toks, lps = self.engine.decode_sample_batch(
-            tokens, positions, self._tables, temps, jax.random.key(self.steps)
+        topk = self.spec_topk if any(r.temperature > 0 for _, r, _ in still) else 0
+        toks, lps, q_out = self.engine.decode_sample_batch(
+            tokens, positions, self._tables, temps, jax.random.key(self.steps),
+            return_topk=topk,
         )
         for lane, req, _ in still:
             req.next_token = int(toks[lane])
             req.out_tokens.append(req.next_token)
             req.out_logprobs.append(float(lps[lane]))
+            if q_out and req.temperature > 0:
+                req.out_topk_ids.append(q_out[0][lane])
+                req.out_topk_probs.append(q_out[1][lane])
             req.position += 1
             if self._nlanes is not None:
                 self._nlanes.advance(lane, req.next_token)

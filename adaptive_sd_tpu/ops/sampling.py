@@ -181,6 +181,32 @@ def sample_rows(
     )
 
 
+def sample_rows_with_topk(
+    logits: jax.Array, key: jax.Array, temperatures: jax.Array, k: int
+) -> tuple[SampleResult, jax.Array, jax.Array]:
+    """``sample_rows`` that also returns the top-k of each row's adjusted
+    distribution: (result, topk_ids [B, k] int32, topk_probs [B, k] f32) —
+    the per-lane draft support the continuous-batching scheduler carries so
+    a later tier can run the exact stochastic verify on lane-decoded drafts.
+    Greedy rows (temperature <= 0) take the argmax; their support rows are
+    of the unscaled softmax and are unused downstream (greedy chains verify
+    by argmax match, no support needed)."""
+    logits = logits.astype(jnp.float32)
+    greedy = temperatures <= 0.0
+    safe_t = jnp.where(greedy, 1.0, temperatures)
+    scaled = logits / safe_t[:, None]
+    cat = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+    arg = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    token = jnp.where(greedy, arg, cat)
+    logp = jax.nn.log_softmax(scaled, axis=-1)
+    top_lp, top_ids = jax.lax.top_k(logp, k)
+    return (
+        SampleResult(token, jnp.take_along_axis(logp, token[:, None], axis=-1)[:, 0]),
+        top_ids.astype(jnp.int32),
+        jnp.exp(top_lp),
+    )
+
+
 def logprob_stats(logprobs: jax.Array, length: jax.Array) -> dict[str, jax.Array]:
     """Summary statistics over per-token logprobs with padding masked by
     ``length`` — feature inputs for the quality predictor (the reference's

@@ -99,6 +99,75 @@ class TestDraftAdmission:
         assert engine.allocator.stats().free_pages == free0
 
 
+class TestStochasticDraftAdmission:
+    """Exact stochastic rejection rule in lane admissions (draft_q path)."""
+
+    def test_support_collected_on_sampled_lanes(self, engine):
+        sched = ContinuousBatchingScheduler(
+            engine, max_batch=2, max_context=128, spec_topk=8
+        )
+        req = sched.submit([1, 2, 3], max_new=6, temperature=0.7)
+        sched.run_until_idle()
+        assert len(req.out_tokens) == 6
+        assert len(req.out_topk_ids) == 6 and len(req.out_topk_probs) == 6
+        assert np.asarray(req.out_topk_ids[0]).shape == (8,)
+
+    def test_greedy_lanes_skip_support(self, engine):
+        sched = ContinuousBatchingScheduler(
+            engine, max_batch=2, max_context=128, spec_topk=8
+        )
+        req = sched.submit([1, 2, 3], max_new=4, temperature=0.0)
+        sched.run_until_idle()
+        assert req.out_topk_ids == []
+
+    def test_self_draft_fully_accepted_under_exact_rule(self, engine):
+        # p == q when the draft came from the SAME model at the SAME
+        # temperature, so the rejection rule accepts every token with
+        # probability min(1, p/q) = 1 — full acceptance, deterministically.
+        # This pins the q/p alignment (both under the per-lane-temperature
+        # adjusted distribution); any scaling mismatch would reject tokens.
+        sched = ContinuousBatchingScheduler(
+            engine, max_batch=2, max_context=128, spec_topk=8
+        )
+        d = sched.submit([4, 5, 6], max_new=6, temperature=0.7)
+        sched.run_until_idle()
+        assert len(d.out_topk_ids) == 6
+        dq = (
+            np.asarray(d.out_logprobs, np.float32),
+            np.stack(d.out_topk_ids),
+            np.stack(d.out_topk_probs),
+        )
+        req = sched.submit(
+            [4, 5, 6], max_new=6, temperature=0.7, draft=d.out_tokens, draft_q=dq
+        )
+        sched.run_until_idle()
+        assert req.done and req.error is None
+        assert req.n_accepted == 6
+        assert req.out_tokens == d.out_tokens
+        # support was carried for the accepted tokens too (3+ tier chains)
+        assert len(req.out_topk_ids) == len(req.out_tokens)
+
+    def test_mixed_greedy_and_stochastic_drafted_batch(self, engine):
+        sched = ContinuousBatchingScheduler(
+            engine, max_batch=4, max_context=128, spec_topk=8
+        )
+        d = sched.submit([7, 8], max_new=4, temperature=0.5)
+        sched.run_until_idle()
+        dq = (
+            np.asarray(d.out_logprobs, np.float32),
+            np.stack(d.out_topk_ids),
+            np.stack(d.out_topk_probs),
+        )
+        greedy_ref = engine.generate([[9, 10]], max_new=4)[0].token_ids.tolist()
+        r_stoch = sched.submit(
+            [7, 8], max_new=4, temperature=0.5, draft=d.out_tokens, draft_q=dq
+        )
+        r_greedy = sched.submit([9, 10], max_new=4, draft=greedy_ref)
+        sched.run_until_idle()
+        assert r_stoch.done and r_stoch.n_accepted == 4
+        assert r_greedy.done and r_greedy.out_tokens == greedy_ref
+
+
 class FixedPredictor:
     def __init__(self, q):
         self.q = q
@@ -186,6 +255,24 @@ class TestScheduledCascadePipeline:
         for f, s in zip(fused_res, sched_res):
             assert f.final_stage == s.final_stage == 1
             assert f.text == s.text
+
+    def test_stochastic_escalation_uses_exact_rule(self, tiers):
+        pipe = ScheduledCascadePipeline(
+            StageManager(tiers), FixedPredictor(0.4),
+            PipelineConfig(lam=0.01, enable_caching=False),
+        )
+        try:
+            res = pipe.process_request(
+                RequestContext(prompt="sample me", max_tokens=8, temperature=0.8),
+                timeout=120,
+            )
+            assert res.succeeded, res.error
+            assert res.final_stage == 1
+            assert res.stage_results[1].output.finish_reason.startswith(
+                "spec_accepted="
+            )
+        finally:
+            pipe.shutdown()
 
     def test_concurrent_submissions_all_complete(self, tiers):
         pipe = ScheduledCascadePipeline(
