@@ -447,21 +447,33 @@ def _make_verify_admit_fn(spec: ModelSpec, fwd):
     from ..ops.sampling import sample_rows
 
     def fn(params, tokens, prompt_lens, total_lens, block_tables, cache,
-           temps, key, draft_q, *, max_draft, return_topk=0):
+           temps, key, draft_q, offsets, *, max_draft, return_topk=0,
+           cached=False):
         B, S = tokens.shape
-        _, cache, h = fwd.prefill(
-            params, spec, tokens, total_lens, cache, block_tables,
-            return_hidden=True,
-        )
+        if cached:
+            # prefix-cache mode: ``tokens`` holds only the WINDOW
+            # [prompt-suffix + draft]; the prompt's cached pages are skipped
+            # via prefill_window and ``offsets`` are the reused lengths.
+            win_lens = total_lens - offsets
+            h, cache = fwd.prefill_window(
+                params, spec, tokens, offsets, win_lens, cache, block_tables
+            )
+        else:
+            _, cache, h = fwd.prefill(
+                params, spec, tokens, total_lens, cache, block_tables,
+                return_hidden=True,
+            )
         # Hidden state at position prompt_lens-1+i predicts draft token i;
         # the +1 window slot is the bonus token on full acceptance.
+        # In cached mode h/tokens are window-relative: shift by offsets.
+        base = prompt_lens - offsets if cached else prompt_lens
         pos = jnp.clip(
-            prompt_lens[:, None] - 1 + jnp.arange(max_draft + 1)[None, :], 0, S - 1
+            base[:, None] - 1 + jnp.arange(max_draft + 1)[None, :], 0, S - 1
         )
         h_sel = jnp.take_along_axis(h, pos[:, :, None], axis=1)      # [B, Dw+1, H]
         logits_d = fwd.logits_at(params, spec, h_sel)                # [B, Dw+1, V]
         draft_idx = jnp.clip(
-            prompt_lens[:, None] + jnp.arange(max_draft)[None, :], 0, S - 1
+            base[:, None] + jnp.arange(max_draft)[None, :], 0, S - 1
         )
         draft = jnp.take_along_axis(tokens, draft_idx, axis=1)       # [B, Dw]
         draft_len = total_lens - prompt_lens
@@ -660,6 +672,25 @@ class TierEngine:
             res = sample_rows(logits, key, temps)
             return res.token, res.logprob, (), cache
 
+        def _prefill_window_sample(params, tokens_w, offsets, win_lens,
+                                   block_tables, cache, temps, key, *,
+                                   return_topk=0):
+            # prefix-cache admission: only the uncached suffix window runs
+            # through the model; cached prompt pages are attended, not
+            # recomputed (scheduler analog of _make_generate_cached_fn)
+            h, cache = fwd.prefill_window(
+                params, spec, tokens_w, offsets, win_lens, cache, block_tables
+            )
+            last = jnp.take_along_axis(
+                h, jnp.maximum(win_lens - 1, 0)[:, None, None], axis=1
+            )
+            logits = fwd.logits_at(params, spec, last)[:, 0]
+            if return_topk:
+                res, qi, qp = sample_rows_with_topk(logits, key, temps, return_topk)
+                return res.token, res.logprob, (qi, qp), cache
+            res = sample_rows(logits, key, temps)
+            return res.token, res.logprob, (), cache
+
         self._prefill_sample_jit = jax.jit(
             _prefill_sample, static_argnames=("return_topk",),
             donate_argnums=(4,) if donate_cache else (),
@@ -668,9 +699,13 @@ class TierEngine:
             _decode_sample, static_argnames=("return_topk",),
             donate_argnums=(3,) if donate_cache else (),
         )
+        self._prefill_window_sample_jit = jax.jit(
+            _prefill_window_sample, static_argnames=("return_topk",),
+            donate_argnums=(5,) if donate_cache else (),
+        )
         self._verify_admit_jit = jax.jit(
             _make_verify_admit_fn(spec, fwd),
-            static_argnames=("max_draft", "return_topk"),
+            static_argnames=("max_draft", "return_topk", "cached"),
             donate_argnums=(5,) if donate_cache else (),
         )
 
@@ -739,25 +774,61 @@ class TierEngine:
 
     def verify_admit_sample_batch(
         self, tokens, prompt_lens, total_lens, block_tables, temps, key, *,
-        max_draft, draft_q=(), return_topk=0,
+        max_draft, draft_q=(), return_topk=0, offsets=None,
     ):
         """Scheduler escalation admission: verify [prompt + draft] rows in one
         parallel pass, emit each row's next token at its lane temperature.
         ``draft_q`` = () for greedy acceptance, or (draft_lp [B, Dw], q_ids
         [B, Dw, K], q_probs [B, Dw, K]) for the exact stochastic rule on
-        rows with temperature > 0. Returns host (n_accepted [B], next_token
+        rows with temperature > 0. ``offsets`` (prefix-cache mode): reused
+        prompt-prefix lengths — ``tokens`` then holds only the window
+        [prompt-suffix + draft]. Returns host (n_accepted [B], next_token
         [B], next_logprob [B], draft_logprobs [B, max_draft], q_out) where
         q_out is () or (topk_ids [B, Dw+1, K'], topk_probs) when
         ``return_topk`` = K' > 0. The KV pages are left filled so the lane
         resumes decoding at prompt_len + n_accepted."""
         dq = tuple(jnp.asarray(a) for a in draft_q) if draft_q else ()
+        cached = offsets is not None
+        offs = jnp.asarray(
+            offsets if cached else np.zeros(len(temps), np.int32)
+        )
         n_acc, tok, lp, draft_lp, q_out, self.cache = self._verify_admit_jit(
             self.params, jnp.asarray(tokens), jnp.asarray(prompt_lens),
             jnp.asarray(total_lens), jnp.asarray(block_tables), self.cache,
-            jnp.asarray(temps, jnp.float32), key, dq,
-            max_draft=max_draft, return_topk=return_topk,
+            jnp.asarray(temps, jnp.float32), key, dq, offs,
+            max_draft=max_draft, return_topk=return_topk, cached=cached,
         )
         return jax.device_get((n_acc, tok, lp, draft_lp, q_out))
+
+    def prefill_window_sample_batch(
+        self, tokens_w, offsets, win_lens, block_tables, temps, key, *,
+        return_topk=0,
+    ):
+        """Prefix-cache admission: prefill only each row's uncached suffix
+        window (cached prompt pages are attended through the stitched block
+        table) + per-row sample, one dispatch."""
+        tok, lp, q_out, self.cache = self._prefill_window_sample_jit(
+            self.params, jnp.asarray(tokens_w), jnp.asarray(offsets),
+            jnp.asarray(win_lens), jnp.asarray(block_tables), self.cache,
+            jnp.asarray(temps, jnp.float32), key, return_topk=return_topk,
+        )
+        return jax.device_get((tok, lp, q_out))
+
+    def _acquire_prefixes(self, prompts):
+        """Acquire prefix-cache chains for a batch, unwinding earlier
+        acquisitions if a later one hits allocator pressure (otherwise their
+        refs would leak and pin pages forever)."""
+        acqs = []
+        try:
+            for p in prompts:
+                acqs.append(self.prefix_cache.acquire(p))
+        except Exception:
+            for _, _, held, fill in acqs:
+                fk = {k for k, _ in fill}
+                self.prefix_cache.invalidate(list(fk))
+                self.prefix_cache.release([k for k in held if k not in fk])
+            raise
+        return acqs
 
     # fused offline/bench path ----------------------------------------------
     def generate(
@@ -858,7 +929,7 @@ class TierEngine:
         max_pages = (max(lens) + max_new_b + page - 1) // page + 1
         oob = self.allocator.n_pages
 
-        acqs = [self.prefix_cache.acquire(p) for p in prompts]
+        acqs = self._acquire_prefixes(prompts)
         offs = [a[1] for a in acqs]
         suffix = [list(p)[o:] for p, o in zip(prompts, offs)]
         Wb = _bucket_len(max(len(sx) for sx in suffix), min(64, page))
@@ -1091,7 +1162,7 @@ class TierEngine:
         max_new_b = _bucket_len(max_new, 32)
 
         cached = self.prefix_cache is not None
-        acqs = [self.prefix_cache.acquire(p) for p in prompts] if cached else []
+        acqs = self._acquire_prefixes(prompts) if cached else []
         offs = [a[1] for a in acqs] if cached else [0] * B
         # window = [prompt-suffix + draft]; without prefix cache the window
         # is the whole sequence (offsets 0)

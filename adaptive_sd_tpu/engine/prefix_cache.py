@@ -126,37 +126,53 @@ class PrefixCache:
             to_fill: list[tuple[bytes, int]] = []
             n_reused = 0
             broken = False
-            for ci, key in enumerate(keys):
-                e = self._entries.get(key)
-                if e is not None and not broken:
-                    e.refs += 1
-                    e.last_used = time.monotonic()
-                    pages.append(e.page)
+            try:
+                for ci, key in enumerate(keys):
+                    e = self._entries.get(key)
+                    if e is not None and not broken:
+                        e.refs += 1
+                        e.last_used = time.monotonic()
+                        pages.append(e.page)
+                        held.append(key)
+                        n_reused += self.page_size
+                        self.hits += 1
+                        continue
+                    broken = True  # chain broke: everything after is a miss
+                    self.misses += 1
+                    if e is not None:
+                        # stale child of an invalidated parent: drop it so the
+                        # fresh fill below doesn't shadow-leak its page
+                        if e.refs > 0:
+                            raise ResourceError(
+                                "prefix chain corrupted: live child of missing parent"
+                            )
+                        del self._entries[key]
+                        self.allocator.free_request(f"prefix:{key.hex()}")
+                    page = self._alloc_page(key)
+                    ent = _Entry(
+                        key=key, page=page,
+                        parent=keys[ci - 1] if ci else None,
+                        refs=1,
+                    )
+                    self._entries[key] = ent
+                    pages.append(page)
                     held.append(key)
-                    n_reused += self.page_size
-                    self.hits += 1
-                    continue
-                broken = True  # chain broke: everything after is a miss
-                self.misses += 1
-                if e is not None:
-                    # stale child of an invalidated parent: drop it so the
-                    # fresh fill below doesn't shadow-leak its page
-                    if e.refs > 0:
-                        raise ResourceError(
-                            "prefix chain corrupted: live child of missing parent"
-                        )
-                    del self._entries[key]
-                    self.allocator.free_request(f"prefix:{key.hex()}")
-                page = self._alloc_page(key)
-                ent = _Entry(
-                    key=key, page=page,
-                    parent=keys[ci - 1] if ci else None,
-                    refs=1,
-                )
-                self._entries[key] = ent
-                pages.append(page)
-                held.append(key)
-                to_fill.append((key, page))
+                    to_fill.append((key, page))
+            except ResourceError:
+                # unwind a partial acquisition (alloc pressure mid-chain):
+                # drop this call's refs and fresh entries, then re-raise —
+                # callers never learn about the partial holds (lock is held,
+                # so unwind inline rather than via release/invalidate)
+                fill_keys = {k for k, _ in to_fill}
+                for key in held:
+                    e = self._entries.get(key)
+                    if e is not None and key not in fill_keys and e.refs > 0:
+                        e.refs -= 1
+                for key in fill_keys:
+                    e = self._entries.pop(key, None)
+                    if e is not None:
+                        self.allocator.free_request(f"prefix:{key.hex()}")
+                raise
             return pages, n_reused, held, to_fill
 
     def release(self, held_keys: Sequence[bytes]) -> None:

@@ -64,6 +64,12 @@ class SchedRequest:
     n_accepted: int = 0        # verified draft prefix length (draft admission)
     position: int = 0          # next position to write (== current length)
     next_token: int = PAD_ID   # token to feed at the next step
+    # prefix-cache bookkeeping: reused prompt-prefix length, cache-owned page
+    # count at the head of this lane's table, held/fill entry keys
+    n_reused: int = 0
+    page_offset: int = 0
+    held_keys: list = field(default_factory=list)
+    fill_keys: list = field(default_factory=list)
     done: bool = False
     error: Optional[str] = None
     finished_at: float = 0.0
@@ -173,19 +179,16 @@ class ContinuousBatchingScheduler:
         if not batch:
             return 0
 
-        try:
+        prefix = self.engine.prefix_cache
+
+        def _fail_batch(exc: Exception) -> None:
             for lane, req in batch:
-                total = len(req.prompt) + (len(req.draft) if req.draft else 0)
-                needed = min((total + self.page) // self.page + 1, self.max_pages)
-                pages = self.engine.allocator.ensure(req.request_id, needed)
-                self._tables[lane, :] = self._oob_page
-                self._tables[lane, : len(pages)] = pages
-        except ResourceError as exc:
-            for lane, req in batch:
+                self._release_prefix(req, failed=True)
                 # free any pages already granted to this batch (sibling
                 # allocations that succeeded would otherwise leak forever)
                 self.engine.allocator.free_request(req.request_id)
                 self._tables[lane, :] = self._oob_page
+                self._lanes[lane] = None
                 req.error = str(exc)
                 req.done = True
                 if req.on_done is not None:
@@ -194,6 +197,39 @@ class ContinuousBatchingScheduler:
                     except Exception:  # noqa: BLE001 - hooks must not kill the loop
                         pass
                 req._event.set()
+
+        batch_fills: set = set()
+        try:
+            for lane, req in batch:
+                pref_pages: list[int] = []
+                if prefix is not None:
+                    pref_pages, n_reused, held, fill = prefix.acquire(req.prompt)
+                    req.n_reused = n_reused
+                    req.page_offset = len(pref_pages)
+                    req.held_keys = held
+                    req.fill_keys = [k for k, _ in fill]
+                    # A batch-mate registered some of these chunks THIS round
+                    # and hasn't written them yet (its dispatch runs in this
+                    # same admission). Recompute from the first such chunk:
+                    # the scatter writes identical K/V for an identical
+                    # prefix, so the sharing stays consistent regardless of
+                    # dispatch order within the batch.
+                    for ci, k in enumerate(held):
+                        if k in batch_fills:
+                            req.n_reused = min(req.n_reused, ci * self.page)
+                            break
+                    batch_fills.update(req.fill_keys)
+                total = len(req.prompt) + (len(req.draft) if req.draft else 0)
+                needed = min((total + self.page) // self.page + 1, self.max_pages)
+                own = self.engine.allocator.ensure(
+                    req.request_id, max(needed - req.page_offset, 1)
+                )
+                self._tables[lane, :] = self._oob_page
+                if pref_pages:
+                    self._tables[lane, : len(pref_pages)] = pref_pages
+                self._tables[lane, req.page_offset : req.page_offset + len(own)] = own
+        except ResourceError as exc:
+            _fail_batch(exc)
             return 0
 
         plain = [(lane, req) for lane, req in batch if not req.draft]
@@ -201,44 +237,69 @@ class ContinuousBatchingScheduler:
         # fold_in(1) keeps admission keys disjoint from the decode-step keys
         key = jax.random.fold_in(jax.random.key(self.steps), 1)
 
-        if plain:
-            S = _bucket_len(max(len(r.prompt) for _, r in plain), self.page)
-            n = len(plain)
-            tokens = np.full((n, S), PAD_ID, np.int32)
-            seq_lens = np.zeros((n,), np.int32)
-            tables = np.full((n, self.max_pages), self._oob_page, np.int32)
-            for row, (lane, req) in enumerate(plain):
-                tokens[row, : len(req.prompt)] = req.prompt
-                seq_lens[row] = len(req.prompt)
-                tables[row] = self._tables[lane]
-            temps = np.asarray([r.temperature for _, r in plain], np.float32)
-            topk = self.spec_topk if any(r.temperature > 0 for _, r in plain) else 0
-            toks, lps, q_out = self.engine.prefill_sample_batch(
-                tokens, seq_lens, tables, temps, key, return_topk=topk,
-            )
-            for row, (lane, req) in enumerate(plain):
-                req.next_token = int(toks[row])
-                req.out_tokens.append(req.next_token)
-                req.out_logprobs.append(float(lps[row]))
-                if q_out and req.temperature > 0:
-                    req.out_topk_ids.append(q_out[0][row])
-                    req.out_topk_probs.append(q_out[1][row])
-                req.position = len(req.prompt)
+        try:
+            if plain:
+                n = len(plain)
+                tables = np.full((n, self.max_pages), self._oob_page, np.int32)
+                for row, (lane, req) in enumerate(plain):
+                    tables[row] = self._tables[lane]
+                temps = np.asarray([r.temperature for _, r in plain], np.float32)
+                topk = self.spec_topk if any(r.temperature > 0 for _, r in plain) else 0
+                if prefix is not None:
+                    # prefix-cache admission: prefill only the uncached
+                    # suffix windows (offsets 0 rows degrade to full prefill)
+                    W = _bucket_len(
+                        max(len(r.prompt) - r.n_reused for _, r in plain),
+                        min(64, self.page),
+                    )
+                    tokens = np.full((n, W), PAD_ID, np.int32)
+                    offsets = np.zeros((n,), np.int32)
+                    win_lens = np.ones((n,), np.int32)
+                    for row, (lane, req) in enumerate(plain):
+                        sx = req.prompt[req.n_reused:]
+                        tokens[row, : len(sx)] = sx
+                        offsets[row] = req.n_reused
+                        win_lens[row] = len(sx)
+                    toks, lps, q_out = self.engine.prefill_window_sample_batch(
+                        tokens, offsets, win_lens, tables, temps, key,
+                        return_topk=topk,
+                    )
+                else:
+                    S = _bucket_len(max(len(r.prompt) for _, r in plain), self.page)
+                    tokens = np.full((n, S), PAD_ID, np.int32)
+                    seq_lens = np.zeros((n,), np.int32)
+                    for row, (lane, req) in enumerate(plain):
+                        tokens[row, : len(req.prompt)] = req.prompt
+                        seq_lens[row] = len(req.prompt)
+                    toks, lps, q_out = self.engine.prefill_sample_batch(
+                        tokens, seq_lens, tables, temps, key, return_topk=topk,
+                    )
+                for row, (lane, req) in enumerate(plain):
+                    req.next_token = int(toks[row])
+                    req.out_tokens.append(req.next_token)
+                    req.out_logprobs.append(float(lps[row]))
+                    if q_out and req.temperature > 0:
+                        req.out_topk_ids.append(q_out[0][row])
+                        req.out_topk_probs.append(q_out[1][row])
+                    req.position = len(req.prompt)
 
-        if drafted:
-            # one verify dispatch per (stochastic support width) subgroup:
-            # rows with draft_q + temperature > 0 use the exact rejection
-            # rule, the rest greedy argmax matching
-            groups: dict = {}
-            for lane, req in drafted:
-                kq = (
-                    int(req.draft_q[1].shape[-1])
-                    if req.draft_q is not None and req.temperature > 0
-                    else None
-                )
-                groups.setdefault(kq, []).append((lane, req))
-            for gi, (kq, grp) in enumerate(groups.items()):
-                self._admit_drafted(grp, jax.random.fold_in(key, 2 + gi), kq)
+            if drafted:
+                # one verify dispatch per (stochastic support width) subgroup:
+                # rows with draft_q + temperature > 0 use the exact rejection
+                # rule, the rest greedy argmax matching
+                groups: dict = {}
+                for lane, req in drafted:
+                    kq = (
+                        int(req.draft_q[1].shape[-1])
+                        if req.draft_q is not None and req.temperature > 0
+                        else None
+                    )
+                    groups.setdefault(kq, []).append((lane, req))
+                for gi, (kq, grp) in enumerate(groups.items()):
+                    self._admit_drafted(grp, jax.random.fold_in(key, 2 + gi), kq)
+        except Exception as exc:  # noqa: BLE001 - admission must not kill the loop
+            _fail_batch(exc)
+            return 0
 
         for lane, req in batch:  # batch order == native lowest-free-lane order
             self._lanes[lane] = req
@@ -251,12 +312,18 @@ class ContinuousBatchingScheduler:
     def _admit_drafted(self, drafted, key, kq) -> None:
         """One fused verify+sample dispatch for a drafted-admission subgroup.
         ``kq``: support width for the exact stochastic rule, or None for
-        greedy argmax acceptance."""
+        greedy argmax acceptance. With the prefix cache on, each row's
+        verify window is [uncached prompt suffix + draft]."""
+        cached = self.engine.prefix_cache is not None
         d_lens = [len(req.draft) for _, req in drafted]
         Dw = _bucket_len(max(d_lens), 8)
+        offs = [req.n_reused if cached else 0 for _, req in drafted]
         S = _bucket_len(
-            max(len(r.prompt) + dl for (_, r), dl in zip(drafted, d_lens)),
-            self.page,
+            max(
+                len(r.prompt) + dl - o
+                for (_, r), dl, o in zip(drafted, d_lens, offs)
+            ),
+            min(64, self.page) if cached else self.page,
         )
         n = len(drafted)
         tokens = np.full((n, S), PAD_ID, np.int32)
@@ -264,10 +331,10 @@ class ContinuousBatchingScheduler:
         t_lens = np.zeros((n,), np.int32)
         tables = np.full((n, self.max_pages), self._oob_page, np.int32)
         for row, (lane, req) in enumerate(drafted):
-            seq = req.prompt + req.draft
+            seq = req.prompt[offs[row]:] + req.draft
             tokens[row, : len(seq)] = seq
             p_lens[row] = len(req.prompt)
-            t_lens[row] = len(seq)
+            t_lens[row] = len(req.prompt) + len(req.draft)
             tables[row] = self._tables[lane]
         temps = np.asarray([r.temperature for _, r in drafted], np.float32)
         dq = ()
@@ -286,6 +353,7 @@ class ContinuousBatchingScheduler:
         n_accs, toks, lps, draft_lps, q_out = self.engine.verify_admit_sample_batch(
             tokens, p_lens, t_lens, tables, temps, key,
             max_draft=Dw, draft_q=dq, return_topk=topk,
+            offsets=np.asarray(offs, np.int32) if cached else None,
         )
         eos = self.engine.eos_id
         for row, (lane, req) in enumerate(drafted):
@@ -333,10 +401,26 @@ class ContinuousBatchingScheduler:
                     req.out_topk_probs.extend(qp)
                 req.position = len(req.prompt) + n_acc
 
+    def _release_prefix(self, req: SchedRequest, failed: bool = False) -> None:
+        """Return the request's prefix-cache refs. ``failed`` = the admission
+        prefill never ran, so this request's fill entries hold garbage pages
+        and must be dropped (successful admissions wrote them: keep)."""
+        prefix = self.engine.prefix_cache
+        if prefix is None or not req.held_keys:
+            return
+        if failed and req.fill_keys:
+            prefix.invalidate(req.fill_keys)
+            fk = set(req.fill_keys)
+            prefix.release([k for k in req.held_keys if k not in fk])
+        else:
+            prefix.release(req.held_keys)
+        req.held_keys, req.fill_keys = [], []
+
     def _retire(self, lane: int, req: SchedRequest, error: Optional[str] = None) -> None:
         req.error = error or req.error
         req.done = True
         req.finished_at = time.monotonic()
+        self._release_prefix(req)
         self.engine.allocator.free_request(req.request_id)
         self._tables[lane, :] = self._oob_page  # stale rows must not alias
         self._lanes[lane] = None
@@ -395,10 +479,15 @@ class ContinuousBatchingScheduler:
         for lane, req, needs_page in still:
             if needs_page:
                 # crossing a page boundary next write: grow one page ahead
-                # (admission pre-allocated through the first boundary)
+                # (admission pre-allocated through the first boundary). Own
+                # pages sit after the cache-owned prefix pages in the table.
                 needed = min((req.position + 1) // self.page + 1, self.max_pages)
-                pages = self.engine.allocator.ensure(req.request_id, needed)
-                self._tables[lane, : len(pages)] = pages
+                pages = self.engine.allocator.ensure(
+                    req.request_id, max(needed - req.page_offset, 1)
+                )
+                self._tables[
+                    lane, req.page_offset : req.page_offset + len(pages)
+                ] = pages
             tokens[lane] = req.next_token
             positions[lane] = req.position
             temps[lane] = req.temperature

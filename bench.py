@@ -50,19 +50,25 @@ def main() -> None:
     import dataclasses
 
     if on_tpu:
-        # Authentic per-layer widths; each tier measured at depth 2 and 4 so
+        # Authentic per-layer widths; each tier measured at depth 2 and 6 so
         # the per-layer decode time can be projected to the model's TRUE
         # depth (28/64/80 layers won't fit one chip together). vocab 32768
         # bounds embed memory; weights random INT8 (timing is shape-bound).
-        depths, vocab, B, max_new, prompt_len = (2, 6), 32768, 8, 32, 128
+        # max_new 48 stretches the decode segment so the prefill/step
+        # subtraction and the depth differencing divide tunnel jitter
+        # (~0.7 ms/dispatch) by a larger signal; 8 reps (best-of) because
+        # dispatch noise is strictly additive.
+        depths, vocab, B, max_new, prompt_len = (2, 6), 32768, 8, 48, 128
         tier_bases = ["qwen2.5-7b", "qwen2.5-32b", "qwen2.5-72b"]
         true_layers = [28, 64, 80]
         use_pallas = True
+        reps = 8
     else:  # CI/CPU fallback: tiny tiers, same code path
         depths, vocab, B, max_new, prompt_len = (2, 4), 2048, 4, 8, 32
         tier_bases = ["tiny128", "tiny128", "tiny128"]
         true_layers = [2, 8, 16]
         use_pallas = False
+        reps = 3
 
     # --- measure per-layer decode + verify time per tier (depth 2 vs 4) ----
     # Decode: fused generate. Verify: the speculative-escalation pass
@@ -88,7 +94,7 @@ def main() -> None:
                 n_pages=B * ((prompt_len + max_new) // 128 + 2) + 8,
                 use_pallas=use_pallas,
             )
-            def timed(fn, reps=4):
+            def timed(fn, reps=reps):
                 fn()  # compile + warm
                 best = float("inf")
                 for _ in range(reps):

@@ -168,6 +168,70 @@ class TestStochasticDraftAdmission:
         assert r_greedy.done and r_greedy.out_tokens == greedy_ref
 
 
+@pytest.fixture(scope="module")
+def pc_engine():
+    params = init_params(TINY, jax.random.key(0), dtype=jnp.float32)
+    return TierEngine(
+        TINY, params, page_size=PAGE, n_pages=128, use_pallas=False,
+        enable_prefix_cache=True,
+    )
+
+
+class TestPrefixCachedScheduler:
+    """Prefix-cache-aware lane admissions: uncached-suffix-window prefill,
+    page-table stitching, fill publication, ref release."""
+
+    def test_repeat_prompt_reuses_prefix_and_matches(self, engine, pc_engine):
+        # engine and pc_engine share weights (same init key): greedy outputs
+        # must agree whether or not the prompt prefix came from the cache.
+        prompt = [(i % (TINY.vocab_size - 1)) + 1 for i in range(39)]
+        ref = engine.generate([prompt], max_new=6)[0].token_ids.tolist()
+        sched = ContinuousBatchingScheduler(pc_engine, max_batch=2, max_context=128)
+        r1 = sched.submit(prompt, max_new=6)
+        sched.run_until_idle()
+        assert r1.out_tokens == ref      # fill path (cold)
+        r2 = sched.submit(prompt, max_new=6)
+        sched.run_until_idle()
+        assert r2.out_tokens == ref      # hit path (windowed prefill)
+        assert r2.n_reused >= PAGE
+        assert pc_engine.prefix_cache.stats()["hits"] >= 2
+
+    def test_same_batch_shared_prefix_consistent(self, engine, pc_engine):
+        # two same-prompt requests admitted in ONE batch: the second sees the
+        # first's unwritten fill chunks and must recompute them, not attend
+        # to garbage
+        prompt = [(i % (TINY.vocab_size - 1)) + 1 for i in range(7, 46)]
+        ref = engine.generate([prompt], max_new=6)[0].token_ids.tolist()
+        sched = ContinuousBatchingScheduler(pc_engine, max_batch=4, max_context=128)
+        r1 = sched.submit(prompt, max_new=6)
+        r2 = sched.submit(prompt, max_new=6)
+        sched.run_until_idle()
+        assert r1.out_tokens == ref
+        assert r2.out_tokens == ref
+
+    def test_drafted_admission_skips_cached_prefix(self, engine, pc_engine):
+        prompt = [(i % (TINY.vocab_size - 1)) + 1 for i in range(3, 45)]
+        ref = engine.generate([prompt], max_new=6)[0].token_ids.tolist()
+        sched = ContinuousBatchingScheduler(pc_engine, max_batch=2, max_context=128)
+        warm = sched.submit(prompt, max_new=6)   # populate the prefix cache
+        sched.run_until_idle()
+        assert warm.out_tokens == ref
+        bad = list(ref)
+        bad[2] = (bad[2] + 1) % (TINY.vocab_size - 1) + 1
+        req = sched.submit(prompt, max_new=6, draft=bad)
+        sched.run_until_idle()
+        assert req.n_reused >= PAGE      # verify window skipped the prefix
+        assert req.n_accepted == 2
+        assert req.out_tokens == ref     # healed to the greedy continuation
+
+    def test_refs_released_after_retirement(self, pc_engine):
+        sched = ContinuousBatchingScheduler(pc_engine, max_batch=2, max_context=128)
+        for i in range(4):
+            sched.submit([(j + i) % 200 + 1 for j in range(40)], max_new=4)
+        sched.run_until_idle()
+        assert pc_engine.prefix_cache.stats()["held_refs"] == 0
+
+
 class FixedPredictor:
     def __init__(self, q):
         self.q = q
