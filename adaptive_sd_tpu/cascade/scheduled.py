@@ -85,7 +85,11 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
         max_batch: int = 8,
         max_context: int = 2048,
         admission_wait_s: float = 0.002,
+        scan_steps: int = 8,
     ) -> None:
+        """``scan_steps``: decode steps fused per dispatch when a tier has no
+        pending admissions (engine.decode_sample_scan) — the tunnel-dispatch
+        amortisation knob; 1 disables scanning."""
         super().__init__(stages, predictor, config, costs=costs)
         from ..engine.scheduler import ContinuousBatchingScheduler
 
@@ -107,6 +111,7 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
                     # tier can verify this tier's draft with the exact
                     # stochastic rule (stage.spec_topk = 0 on final tiers)
                     spec_topk=int(getattr(stage, "spec_topk", 0)),
+                    scan_steps=scan_steps,
                 )
             )
         self._started = False

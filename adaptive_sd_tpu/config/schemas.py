@@ -158,6 +158,7 @@ class ServerConfig(BaseConfig):
     scheduled_batching: bool = False
     max_batch_lanes: int = 8
     max_context: int = 2048
+    decode_scan_steps: int = 8  # fused decode steps per dispatch when idle
 
     def validate(self) -> None:
         if not 1 <= self.port <= 65535:

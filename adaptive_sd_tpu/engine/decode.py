@@ -531,6 +531,71 @@ def _make_verify_admit_fn(spec: ModelSpec, fwd):
     return fn
 
 
+def _make_decode_scan_fn(spec: ModelSpec, fwd):
+    """Multi-step fused decode for the continuous-batching scheduler: run
+    ``n_steps`` decode+sample iterations in ONE dispatch (lax.fori_loop),
+    emitting per-lane tokens until each lane's remaining budget (or eos) is
+    hit. Through the ~0.7 ms/dispatch TPU tunnel this divides the per-token
+    dispatch overhead by n_steps; the host syncs lane bookkeeping once per
+    scan instead of once per token.
+
+    Lanes that finish mid-scan keep re-feeding their last token at a frozen
+    position — the rewrite scatters identical K/V (idempotent) and their
+    emissions are masked, so heterogeneous budgets cost no extra dispatches.
+    Callers must pre-grow each active lane's pages to cover position +
+    n_steps before dispatching.
+    """
+
+    from ..ops.sampling import sample_rows, sample_rows_with_topk
+
+    def fn(params, tokens, positions, cache, block_tables, temps, key,
+           remaining, *, n_steps, eos_id, return_topk=0):
+        B = tokens.shape[0]
+        out_t = jnp.full((B, n_steps), PAD_ID, jnp.int32)
+        out_l = jnp.zeros((B, n_steps), jnp.float32)
+        qb = (
+            (jnp.zeros((B, n_steps, return_topk), jnp.int32),
+             jnp.zeros((B, n_steps, return_topk), jnp.float32))
+            if return_topk else ()
+        )
+        emitted = jnp.zeros((B,), jnp.int32)
+
+        def body(i, state):
+            tok, pos, cache, key, rem, emitted, out_t, out_l, qb = state
+            active = rem > 0
+            logits, cache = fwd.decode_step(
+                params, spec, tok, pos, cache, block_tables
+            )
+            key, kk = jax.random.split(key)
+            if return_topk:
+                res, qi, qp = sample_rows_with_topk(logits, kk, temps, return_topk)
+                qb = (
+                    qb[0].at[:, i].set(jnp.where(active[:, None], qi, 0)),
+                    qb[1].at[:, i].set(jnp.where(active[:, None], qp, 0.0)),
+                )
+            else:
+                res = sample_rows(logits, kk, temps)
+            out_t = out_t.at[:, i].set(jnp.where(active, res.token, PAD_ID))
+            out_l = out_l.at[:, i].set(jnp.where(active, res.logprob, 0.0))
+            emitted = emitted + active.astype(jnp.int32)
+            rem = rem - active.astype(jnp.int32)
+            if eos_id is not None:
+                rem = jnp.where(
+                    jnp.logical_and(active, res.token == eos_id), 0, rem
+                )
+            tok = jnp.where(active, res.token, tok)
+            pos = pos + active.astype(jnp.int32)
+            return (tok, pos, cache, key, rem, emitted, out_t, out_l, qb)
+
+        state = (tokens, positions, cache, key, remaining, emitted, out_t, out_l, qb)
+        _, _, cache, _, _, emitted, out_t, out_l, qb = jax.lax.fori_loop(
+            0, n_steps, body, state
+        )
+        return out_t, out_l, emitted, qb, cache
+
+    return fn
+
+
 class TierEngine:
     """One cascade tier: quantized params + compiled execution graphs +
     page allocation. Thread-compatible: jit dispatch is GIL-friendly and the
@@ -708,6 +773,11 @@ class TierEngine:
             static_argnames=("max_draft", "return_topk", "cached"),
             donate_argnums=(5,) if donate_cache else (),
         )
+        self._decode_scan_jit = jax.jit(
+            _make_decode_scan_fn(spec, fwd),
+            static_argnames=("n_steps", "eos_id", "return_topk"),
+            donate_argnums=(3,) if donate_cache else (),
+        )
 
         # automatic prefix caching: content-addressed KV-page reuse across
         # requests (engine/prefix_cache.py); generation then prefills only
@@ -799,6 +869,23 @@ class TierEngine:
             max_draft=max_draft, return_topk=return_topk, cached=cached,
         )
         return jax.device_get((n_acc, tok, lp, draft_lp, q_out))
+
+    def decode_sample_scan(
+        self, tokens, positions, block_tables, temps, key, remaining, *,
+        n_steps, return_topk=0,
+    ):
+        """``n_steps`` fused decode+sample iterations in one dispatch
+        (scheduler batch hot loop). ``remaining`` [B]: per-lane emission
+        budgets; lanes stop emitting at budget/eos but cost nothing extra.
+        Returns host (out_tokens [B, n_steps], out_logprobs [B, n_steps],
+        emitted [B], q_out)."""
+        out_t, out_l, emitted, q_out, self.cache = self._decode_scan_jit(
+            self.params, jnp.asarray(tokens), jnp.asarray(positions), self.cache,
+            jnp.asarray(block_tables), jnp.asarray(temps, jnp.float32), key,
+            jnp.asarray(remaining, jnp.int32),
+            n_steps=n_steps, eos_id=self.eos_id, return_topk=return_topk,
+        )
+        return jax.device_get((out_t, out_l, emitted, q_out))
 
     def prefill_window_sample_batch(
         self, tokens_w, offsets, win_lens, block_tables, temps, key, *,

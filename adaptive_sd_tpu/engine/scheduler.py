@@ -88,14 +88,22 @@ class ContinuousBatchingScheduler:
         max_context: int = 2048,
         admission_wait_s: float = 0.002,
         spec_topk: int = 0,
+        scan_steps: int = 1,
     ) -> None:
         """``spec_topk`` > 0: sampled lanes (temperature > 0) also carry the
         top-K support of each emitted token's distribution, so a later tier
-        can verify this tier's lane output with the exact stochastic rule."""
+        can verify this tier's lane output with the exact stochastic rule.
+
+        ``scan_steps`` > 1: when no request is waiting to be admitted, run
+        that many decode steps per dispatch (engine.decode_sample_scan) —
+        through the ~0.7 ms TPU tunnel this divides per-token dispatch
+        overhead by scan_steps at the cost of admission latency bounded by
+        one scan."""
         self.engine = engine
         self.max_batch = max_batch
         self.max_context = max_context
         self.spec_topk = spec_topk
+        self.scan_steps = max(int(scan_steps), 1)
         self.page = engine.page_size
         self.max_pages = (max_context + self.page - 1) // self.page
         self._lanes: list[Optional[SchedRequest]] = [None] * max_batch
@@ -463,15 +471,17 @@ class ContinuousBatchingScheduler:
                 still.append((lane, req, ((req.position + 1) % self.page) == 0))
         return still
 
-    def step(self) -> int:
-        """One scheduler iteration: admit, then ONE fused decode+sample
-        dispatch for all occupied lanes. Returns the number of lanes
-        stepped."""
+    def step(self, n_steps: int = 1) -> int:
+        """One scheduler iteration: admit, then ONE fused dispatch advancing
+        every occupied lane by up to ``n_steps`` tokens. Returns the number
+        of lanes stepped."""
         self._admit()
         # Check budgets/eos BEFORE stepping (the sampled token may finish one).
         still = self._scan()
         if not still:
             return 0
+        if n_steps > 1:
+            return self._step_scan(still, n_steps)
 
         tokens = np.full((self.max_batch,), PAD_ID, np.int32)
         positions = np.zeros((self.max_batch,), np.int32)
@@ -510,11 +520,58 @@ class ContinuousBatchingScheduler:
                 self._nlanes.advance(lane, req.next_token)
         return len(still)
 
+    def _step_scan(self, still, n_steps: int) -> int:
+        """Advance the active lanes by up to ``n_steps`` tokens in ONE
+        dispatch (engine.decode_sample_scan). Pages are pre-grown to cover
+        the whole scan; per-lane budgets/eos mask emissions on device."""
+        tokens = np.full((self.max_batch,), PAD_ID, np.int32)
+        positions = np.zeros((self.max_batch,), np.int32)
+        temps = np.zeros((self.max_batch,), np.float32)
+        remaining = np.zeros((self.max_batch,), np.int32)
+        for lane, req, _needs in still:
+            budget = max(req.max_new - len(req.out_tokens), 0)
+            needed = min(
+                (req.position + min(n_steps, budget) + 1) // self.page + 1,
+                self.max_pages,
+            )
+            pages = self.engine.allocator.ensure(
+                req.request_id, max(needed - req.page_offset, 1)
+            )
+            self._tables[
+                lane, req.page_offset : req.page_offset + len(pages)
+            ] = pages
+            tokens[lane] = req.next_token
+            positions[lane] = req.position
+            temps[lane] = req.temperature
+            remaining[lane] = budget
+
+        self.steps += 1
+        topk = self.spec_topk if any(r.temperature > 0 for _, r, _ in still) else 0
+        out_t, out_l, emitted, q_out = self.engine.decode_sample_scan(
+            tokens, positions, self._tables, temps, jax.random.key(self.steps),
+            remaining, n_steps=n_steps, return_topk=topk,
+        )
+        for lane, req, _ in still:
+            k = int(emitted[lane])
+            if k == 0:
+                continue
+            req.out_tokens.extend(int(t) for t in out_t[lane, :k])
+            req.out_logprobs.extend(float(x) for x in out_l[lane, :k])
+            if q_out and req.temperature > 0:
+                req.out_topk_ids.extend(q_out[0][lane, :k])
+                req.out_topk_probs.extend(q_out[1][lane, :k])
+            req.position += k
+            req.next_token = int(out_t[lane, k - 1])
+            if self._nlanes is not None:
+                for t in out_t[lane, :k]:
+                    self._nlanes.advance(lane, int(t))
+        return len(still)
+
     # ------------------------------------------------------------------ loop
     def run_until_idle(self, max_steps: int = 100_000) -> None:
         """Drain queue + lanes (offline/batch mode)."""
         for _ in range(max_steps):
-            n = self.step()
+            n = self.step(self.scan_steps if self._queue.empty() else 1)
             if n == 0 and self._queue.empty() and not any(self._lanes):
                 return
 
@@ -532,7 +589,9 @@ class ContinuousBatchingScheduler:
 
     def _loop(self) -> None:  # pragma: no cover - thread loop
         while not self._stop.is_set():
-            n = self.step()
+            # scan mode only when nothing waits to be admitted (a scan delays
+            # admission by its whole length; single-step keeps latency low)
+            n = self.step(self.scan_steps if self._queue.empty() else 1)
             if n == 0:
                 time.sleep(0.001)
 

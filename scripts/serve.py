@@ -184,6 +184,7 @@ def main() -> None:
             pcfg,
             max_batch=serving.server.max_batch_lanes,
             max_context=serving.server.max_context,
+            scan_steps=serving.server.decode_scan_steps,
         )
     else:
         pipeline = AdaptiveCascadePipeline(stages, predictor, pcfg)

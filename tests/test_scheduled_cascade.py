@@ -168,6 +168,70 @@ class TestStochasticDraftAdmission:
         assert r_greedy.done and r_greedy.out_tokens == greedy_ref
 
 
+class TestDecodeScan:
+    """Multi-step fused decode (scan_steps > 1): one dispatch advances every
+    lane several tokens; budgets/eos mask emissions on device."""
+
+    def test_scan_matches_single_step_greedy(self, engine):
+        prompts = [[1, 2, 3], [4, 5, 6, 7]]
+        refs = [
+            engine.generate([p], max_new=9)[0].token_ids.tolist() for p in prompts
+        ]
+        sched = ContinuousBatchingScheduler(
+            engine, max_batch=4, max_context=128, scan_steps=4
+        )
+        rs = [sched.submit(p, max_new=9) for p in prompts]
+        sched.run_until_idle()
+        for r, ref in zip(rs, refs):
+            assert r.out_tokens == ref
+
+    def test_heterogeneous_budgets_in_one_scan(self, engine):
+        short_ref = engine.generate([[8, 9]], max_new=3)[0].token_ids.tolist()
+        long_ref = engine.generate([[10, 11]], max_new=11)[0].token_ids.tolist()
+        sched = ContinuousBatchingScheduler(
+            engine, max_batch=4, max_context=128, scan_steps=5
+        )
+        r_short = sched.submit([8, 9], max_new=3)
+        r_long = sched.submit([10, 11], max_new=11)
+        sched.run_until_idle()
+        assert r_short.out_tokens == short_ref
+        assert len(r_short.out_tokens) == 3
+        assert r_long.out_tokens == long_ref
+        assert len(r_long.out_tokens) == 11
+
+    def test_scan_with_draft_admission(self, engine):
+        prompt = [12, 13, 14]
+        ref = engine.generate([prompt], max_new=10)[0].token_ids.tolist()
+        bad = list(ref)
+        bad[4] = (bad[4] + 1) % (TINY.vocab_size - 1) + 1
+        sched = ContinuousBatchingScheduler(
+            engine, max_batch=2, max_context=128, scan_steps=4
+        )
+        req = sched.submit(prompt, max_new=10, draft=bad)
+        sched.run_until_idle()
+        assert req.n_accepted == 4
+        assert req.out_tokens == ref
+
+    def test_scan_collects_support(self, engine):
+        sched = ContinuousBatchingScheduler(
+            engine, max_batch=2, max_context=128, spec_topk=8, scan_steps=4
+        )
+        req = sched.submit([15, 16], max_new=9, temperature=0.6)
+        sched.run_until_idle()
+        assert len(req.out_tokens) == 9
+        assert len(req.out_topk_ids) == 9
+
+    def test_pages_freed_after_scan_requests(self, engine):
+        free0 = engine.allocator.stats().free_pages
+        sched = ContinuousBatchingScheduler(
+            engine, max_batch=2, max_context=128, scan_steps=8
+        )
+        for i in range(5):
+            sched.submit([1 + i, 2, 3], max_new=20)
+        sched.run_until_idle()
+        assert engine.allocator.stats().free_pages == free0
+
+
 @pytest.fixture(scope="module")
 def pc_engine():
     params = init_params(TINY, jax.random.key(0), dtype=jnp.float32)
