@@ -39,22 +39,57 @@ def in_process_sweep(args) -> None:
     X, y, _ = generate_synthetic(n_prompts=600)
     pred = MLPQualityPredictor()
     pred.fit(X, y, epochs=20, patience=5)
-    pipe = AdaptiveCascadePipeline(
-        StageManager(
-            [
-                MockStage("7b", cost_per_token=1.0, capacity=0.55),
-                MockStage("14b", cost_per_token=2.0, capacity=0.7),
-                MockStage("32b", cost_per_token=4.5, capacity=0.85),
-                MockStage("72b", cost_per_token=10.0, capacity=0.97),
-            ]
-        ),
-        pred,
-        PipelineConfig(enable_caching=False),
-    )
+    if args.scheduled:
+        # lambda sweep through the continuous-batching execution plane
+        # (engine-backed tiny tiers; mock stages have no lanes)
+        import dataclasses
+
+        import jax
+
+        from adaptive_sd_tpu.cascade import EngineTextStage, ScheduledCascadePipeline
+        from adaptive_sd_tpu.engine import TierEngine
+        from adaptive_sd_tpu.models import TINY128, init_params, scaled_spec
+
+        def tok(text):
+            return [(ord(c) % (TINY128.vocab_size - 1)) + 1 for c in text[:128]] or [1]
+
+        def detok(ids):
+            return " ".join(str(int(i)) for i in ids)
+
+        stages = []
+        for i, (name, layers, cost) in enumerate(
+            [("tiny-a", 2, 1.0), ("tiny-b", 4, 2.2), ("tiny-c", 8, 4.8)]
+        ):
+            spec = dataclasses.replace(scaled_spec(TINY128, layers=layers, name=name))
+            params = init_params(spec, jax.random.key(i))
+            eng = TierEngine(spec, params, n_pages=256, use_pallas=False,
+                             cost_per_token=cost)
+            stages.append(EngineTextStage(eng, tok, detok, name=name,
+                                          cost_per_token=cost))
+        pipe = ScheduledCascadePipeline(
+            StageManager(stages), pred, PipelineConfig(enable_caching=False)
+        )
+    else:
+        pipe = AdaptiveCascadePipeline(
+            StageManager(
+                [
+                    MockStage("7b", cost_per_token=1.0, capacity=0.55),
+                    MockStage("14b", cost_per_token=2.0, capacity=0.7),
+                    MockStage("32b", cost_per_token=4.5, capacity=0.85),
+                    MockStage("72b", cost_per_token=10.0, capacity=0.97),
+                ]
+            ),
+            pred,
+            PipelineConfig(enable_caching=False),
+        )
     harness = LambdaSweepHarness(pipe)
-    harness.run(
-        lambdas=args.lambdas, datasets=args.datasets, n_per_dataset=args.n_per_dataset
-    )
+    try:
+        harness.run(
+            lambdas=args.lambdas, datasets=args.datasets,
+            n_per_dataset=args.n_per_dataset,
+        )
+    finally:
+        pipe.shutdown()
     harness.save(args.out)
     print(json.dumps(harness.summary(), indent=1))
 
@@ -110,6 +145,11 @@ def main() -> None:
     ap.add_argument("--datasets", nargs="+",
                     default=["mmlu-style", "gsm8k-style"])
     ap.add_argument("--n-per-dataset", type=int, default=30)
+    ap.add_argument(
+        "--scheduled", action="store_true",
+        help="sweep through the continuous-batching plane (engine-backed "
+        "tiny tiers) instead of mock stages",
+    )
     ap.add_argument("--out", default="results/lambda_sweep.json")
     args = ap.parse_args()
 
