@@ -49,7 +49,7 @@ from .pipeline import AdaptiveCascadePipeline, PipelineConfig
 from .stages import StageManager
 
 
-@dataclass
+@dataclass(eq=False)  # identity semantics: jobs live in an in-flight set
 class _CascadeJob:
     """In-flight request state threaded across tier schedulers."""
 
@@ -116,6 +116,8 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
             )
         self._started = False
         self._start_lock = threading.Lock()
+        self._inflight: set = set()
+        self._inflight_lock = threading.Lock()
 
     # ------------------------------------------------------------- lifecycle
     def start(self) -> None:
@@ -129,6 +131,12 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
         for s in self.schedulers:
             s.stop()
         self._started = False
+        # in-flight jobs would otherwise wait forever (their lanes stopped)
+        with self._inflight_lock:
+            pending = list(self._inflight)
+        for job in pending:
+            if not job.done.is_set():
+                self._finalize(job, error="pipeline shut down")
         super().shutdown()
 
     # ------------------------------------------------------------- execution
@@ -144,6 +152,8 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
             else self._lam
         )
         job = _CascadeJob(request=request, lam=lam)
+        with self._inflight_lock:
+            self._inflight.add(job)
         self._submit_tier(job, 0, draft=None)
         return job
 
@@ -287,6 +297,8 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
             error=error,
         )
         self._update_stats(job.result)
+        with self._inflight_lock:
+            self._inflight.discard(job)
         job.done.set()
 
     # -------------------------------------------------------------- blocking

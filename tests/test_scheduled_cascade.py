@@ -422,6 +422,21 @@ class TestScheduledCascadePipeline:
         finally:
             pipe.shutdown()
 
+    def test_shutdown_fails_inflight_jobs_instead_of_hanging(self, tiers):
+        pipe = ScheduledCascadePipeline(
+            StageManager(tiers), FixedPredictor(0.4),
+            PipelineConfig(lam=0.01, enable_caching=False),
+        )
+        pipe.start()
+        jobs = [
+            pipe.submit(RequestContext(prompt=f"inflight {i}", max_tokens=64))
+            for i in range(3)
+        ]
+        pipe.shutdown()
+        for j in jobs:
+            assert j.wait(timeout=30)  # resolved (result or error), not hung
+            assert j.result is not None
+
     def test_stats_and_stage_distribution(self, tiers):
         pipe = ScheduledCascadePipeline(
             StageManager(tiers), FixedPredictor(0.4),
