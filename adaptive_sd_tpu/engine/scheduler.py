@@ -474,7 +474,8 @@ class ContinuousBatchingScheduler:
     def step(self, n_steps: int = 1) -> int:
         """One scheduler iteration: admit, then ONE fused dispatch advancing
         every occupied lane by up to ``n_steps`` tokens. Returns the number
-        of lanes stepped."""
+        of lanes stepped. Admission always runs first, so a scan only ever
+        delays arrivals DURING it (bounded by one scan's wall time)."""
         self._admit()
         # Check budgets/eos BEFORE stepping (the sampled token may finish one).
         still = self._scan()
@@ -571,7 +572,7 @@ class ContinuousBatchingScheduler:
     def run_until_idle(self, max_steps: int = 100_000) -> None:
         """Drain queue + lanes (offline/batch mode)."""
         for _ in range(max_steps):
-            n = self.step(self.scan_steps if self._queue.empty() else 1)
+            n = self.step(self.scan_steps)
             if n == 0 and self._queue.empty() and not any(self._lanes):
                 return
 
@@ -589,9 +590,10 @@ class ContinuousBatchingScheduler:
 
     def _loop(self) -> None:  # pragma: no cover - thread loop
         while not self._stop.is_set():
-            # scan mode only when nothing waits to be admitted (a scan delays
-            # admission by its whole length; single-step keeps latency low)
-            n = self.step(self.scan_steps if self._queue.empty() else 1)
+            # step() admits first, so waiting requests enter lanes before
+            # each scan; scanning costs new arrivals at most one scan's wall
+            # time of admission latency
+            n = self.step(self.scan_steps)
             if n == 0:
                 time.sleep(0.001)
 
