@@ -155,6 +155,32 @@ class TestTierEngineTP:
         assert n_acc == 4
         assert out.token_ids.tolist() == full.token_ids.tolist()
 
+    def test_scheduler_lanes_over_tp_engine(self, params_f32):
+        """Continuous-batching lane paths (plain + draft admission + decode
+        scan) run over the shard_map tensor-parallel forward and match the
+        single-device engine's greedy outputs."""
+        from adaptive_sd_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+        qp = quantize_model(fuse_projections(params_f32), bits=8)
+        eng1 = TierEngine(TINY, qp, page_size=PAGE, n_pages=64, use_pallas=False)
+        eng = TierEngine(
+            TINY, qp, page_size=PAGE, n_pages=64, use_pallas=False, mesh=tp_mesh(2)
+        )
+        assert eng.tp_mode
+        prompt = [5, 9, 13]
+        ref = eng1.generate([prompt], max_new=8)[0].token_ids.tolist()
+        sched = ContinuousBatchingScheduler(
+            eng, max_batch=2, max_context=64, scan_steps=3
+        )
+        r_plain = sched.submit(prompt, max_new=8)
+        bad = list(ref)
+        bad[2] = (bad[2] + 1) % (TINY.vocab_size - 1) + 1
+        r_draft = sched.submit(prompt, max_new=8, draft=bad)
+        sched.run_until_idle()
+        assert r_plain.out_tokens == ref
+        assert r_draft.n_accepted == 2
+        assert r_draft.out_tokens == ref
+
     def test_dp_axis_replicates(self, params_f32):
         """A (dp=2, tp=2) mesh: TP path treats dp as replication."""
         qp = quantize_model(params_f32, bits=8)
