@@ -327,6 +327,61 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
                 raise OptimizationError("batch_process timed out")
         return [j.result for j in jobs]  # type: ignore[misc]
 
+    # ------------------------------------------------------------- streaming
+    def stream_request(self, request: RequestContext):
+        """Streaming through the lanes: the request joins its routed tier's
+        lane array (sharing every dispatch with concurrent traffic — unlike
+        the fused plane's stream, which monopolises one dispatch per token)
+        and text increments are yielded as the lane produces tokens. Commits
+        to ONE tier up front, chosen by the task classifier scaled by
+        lambda, exactly like the fused plane (escalating after bytes were
+        shown would contradict the output)."""
+        from ..utils.taxonomy import TaskClassifier
+
+        self.start()
+        lam = (
+            request.lambda_override
+            if request.lambda_override is not None
+            else self._lam
+        )
+        classifier = TaskClassifier()
+        chars = classifier.classify(request.prompt)
+        stage_idx = classifier.recommend_stage(chars, self.n_stages)
+        if lam >= 2.0:  # cost-pressured: bias down a tier
+            stage_idx = max(stage_idx - 1, 0)
+        stage = self.stages[stage_idx]
+        t0 = time.perf_counter()
+        sreq = self.schedulers[stage_idx].submit(
+            stage.tokenize(request.prompt),
+            max_new=request.max_tokens,
+            temperature=request.temperature,
+            request_id=f"{request.request_id}.stream",
+        )
+        emitted = ""
+        n_seen = 0
+        n_chunks = 0
+        while True:
+            done = sreq.done
+            n_now = len(sreq.out_tokens)
+            if n_now > n_seen:
+                text = stage.detokenize(sreq.out_tokens[:n_now])
+                if len(text) > len(emitted):
+                    n_chunks += 1
+                    yield text[len(emitted):]
+                    emitted = text
+                n_seen = n_now
+            if done:
+                break
+            time.sleep(0.002)
+        if sreq.error:
+            raise OptimizationError(f"stream failed: {sreq.error}")
+        yield {
+            "final_stage": stage_idx,
+            "final_stage_name": stage.name,
+            "chunks": n_chunks,
+            "latency_s": time.perf_counter() - t0,
+        }
+
     # ----------------------------------------------------------------- stats
     def get_stats(self) -> dict:
         s = super().get_stats()

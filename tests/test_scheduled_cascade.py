@@ -437,6 +437,31 @@ class TestScheduledCascadePipeline:
             assert j.wait(timeout=30)  # resolved (result or error), not hung
             assert j.result is not None
 
+    def test_stream_request_rides_the_lanes(self, tiers):
+        fused = AdaptiveCascadePipeline(
+            StageManager(tiers), FixedPredictor(0.9),
+            PipelineConfig(lam=1.0, enable_caching=False),
+        )
+        fused_chunks = list(
+            fused.stream_request(RequestContext(prompt="stream me", max_tokens=8))
+        )
+        fused_text = "".join(c for c in fused_chunks if isinstance(c, str))
+        pipe = ScheduledCascadePipeline(
+            StageManager(tiers), FixedPredictor(0.9),
+            PipelineConfig(lam=1.0, enable_caching=False),
+        )
+        try:
+            chunks = list(
+                pipe.stream_request(RequestContext(prompt="stream me", max_tokens=8))
+            )
+        finally:
+            pipe.shutdown()
+        meta = chunks[-1]
+        assert isinstance(meta, dict) and meta["chunks"] >= 1
+        text = "".join(c for c in chunks[:-1])
+        # same tier routing + greedy decoding => identical streamed text
+        assert text == fused_text
+
     def test_stats_and_stage_distribution(self, tiers):
         pipe = ScheduledCascadePipeline(
             StageManager(tiers), FixedPredictor(0.4),
