@@ -33,7 +33,7 @@ import jax
 import numpy as np
 
 from ..core.exceptions import ResourceError
-from .decode import PAD_ID, TierEngine, _bucket_len
+from .decode import PAD_ID, TierEngine, _bucket_batch, _bucket_len
 
 
 @dataclass
@@ -247,11 +247,16 @@ class ContinuousBatchingScheduler:
 
         try:
             if plain:
+                # rows bucket to powers of two: arbitrary arrival counts reuse
+                # a handful of compiled admission graphs instead of compiling
+                # one per batch width (dummy rows mask to OOB tables)
                 n = len(plain)
-                tables = np.full((n, self.max_pages), self._oob_page, np.int32)
+                nb = _bucket_batch(n)
+                tables = np.full((nb, self.max_pages), self._oob_page, np.int32)
                 for row, (lane, req) in enumerate(plain):
                     tables[row] = self._tables[lane]
-                temps = np.asarray([r.temperature for _, r in plain], np.float32)
+                temps = np.zeros((nb,), np.float32)
+                temps[:n] = [r.temperature for _, r in plain]
                 topk = self.spec_topk if any(r.temperature > 0 for _, r in plain) else 0
                 if prefix is not None:
                     # prefix-cache admission: prefill only the uncached
@@ -260,9 +265,9 @@ class ContinuousBatchingScheduler:
                         max(len(r.prompt) - r.n_reused for _, r in plain),
                         min(64, self.page),
                     )
-                    tokens = np.full((n, W), PAD_ID, np.int32)
-                    offsets = np.zeros((n,), np.int32)
-                    win_lens = np.ones((n,), np.int32)
+                    tokens = np.full((nb, W), PAD_ID, np.int32)
+                    offsets = np.zeros((nb,), np.int32)
+                    win_lens = np.ones((nb,), np.int32)
                     for row, (lane, req) in enumerate(plain):
                         sx = req.prompt[req.n_reused:]
                         tokens[row, : len(sx)] = sx
@@ -274,8 +279,8 @@ class ContinuousBatchingScheduler:
                     )
                 else:
                     S = _bucket_len(max(len(r.prompt) for _, r in plain), self.page)
-                    tokens = np.full((n, S), PAD_ID, np.int32)
-                    seq_lens = np.zeros((n,), np.int32)
+                    tokens = np.full((nb, S), PAD_ID, np.int32)
+                    seq_lens = np.ones((nb,), np.int32)
                     for row, (lane, req) in enumerate(plain):
                         tokens[row, : len(req.prompt)] = req.prompt
                         seq_lens[row] = len(req.prompt)
@@ -334,22 +339,24 @@ class ContinuousBatchingScheduler:
             min(64, self.page) if cached else self.page,
         )
         n = len(drafted)
-        tokens = np.full((n, S), PAD_ID, np.int32)
-        p_lens = np.zeros((n,), np.int32)
-        t_lens = np.zeros((n,), np.int32)
-        tables = np.full((n, self.max_pages), self._oob_page, np.int32)
+        nb = _bucket_batch(n)  # row bucketing: reuse compiled verify graphs
+        tokens = np.full((nb, S), PAD_ID, np.int32)
+        p_lens = np.ones((nb,), np.int32)
+        t_lens = np.ones((nb,), np.int32)
+        tables = np.full((nb, self.max_pages), self._oob_page, np.int32)
         for row, (lane, req) in enumerate(drafted):
             seq = req.prompt[offs[row]:] + req.draft
             tokens[row, : len(seq)] = seq
             p_lens[row] = len(req.prompt)
             t_lens[row] = len(req.prompt) + len(req.draft)
             tables[row] = self._tables[lane]
-        temps = np.asarray([r.temperature for _, r in drafted], np.float32)
+        temps = np.zeros((nb,), np.float32)
+        temps[:n] = [r.temperature for _, r in drafted]
         dq = ()
         if kq is not None:
-            dlp = np.zeros((n, Dw), np.float32)
-            qids = np.zeros((n, Dw, kq), np.int32)
-            qpr = np.zeros((n, Dw, kq), np.float32)
+            dlp = np.zeros((nb, Dw), np.float32)
+            qids = np.zeros((nb, Dw, kq), np.int32)
+            qpr = np.zeros((nb, Dw, kq), np.float32)
             for row, (_, req) in enumerate(drafted):
                 d = len(req.draft)
                 lp_a, id_a, pr_a = req.draft_q
@@ -358,10 +365,12 @@ class ContinuousBatchingScheduler:
                 qpr[row, :d] = np.asarray(pr_a, np.float32)[:d]
             dq = (dlp, qids, qpr)
         topk = self.spec_topk if any(r.temperature > 0 for _, r in drafted) else 0
+        off_arr = np.zeros((nb,), np.int32)
+        off_arr[:n] = offs
         n_accs, toks, lps, draft_lps, q_out = self.engine.verify_admit_sample_batch(
             tokens, p_lens, t_lens, tables, temps, key,
             max_draft=Dw, draft_q=dq, return_topk=topk,
-            offsets=np.asarray(offs, np.int32) if cached else None,
+            offsets=off_arr if cached else None,
         )
         eos = self.engine.eos_id
         for row, (lane, req) in enumerate(drafted):

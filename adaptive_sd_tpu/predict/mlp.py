@@ -83,11 +83,29 @@ class MLPQualityPredictor:
         self.calibration: tuple[float, float] = (1.0, 0.0)  # (scale, shift) on logit
 
     # -- inference -----------------------------------------------------------
+    def _forward_np(self, x: np.ndarray) -> np.ndarray:
+        """Host-side twin of mlp_forward for the serving hot path (reference
+        parity: '<1 ms CPU predictor'). Keeps per-completion predictions off
+        the accelerator, where each call would queue behind engine dispatches
+        through the TPU tunnel."""
+        cache = getattr(self, "_np_cache", None)
+        if cache is None or cache[0] is not self.params:
+            ws = [np.asarray(w, np.float32) for w in self.params["w"]]
+            bs = [np.asarray(b, np.float32) for b in self.params["b"]]
+            self._np_cache = (self.params, ws, bs)
+        _, ws, bs = self._np_cache
+        h = x.astype(np.float32)
+        for i, (w, b) in enumerate(zip(ws, bs)):
+            h = h @ w + b
+            if i < len(ws) - 1:
+                np.maximum(h, 0.0, out=h)
+        return 1.0 / (1.0 + np.exp(-h[..., 0]))
+
     def predict_features(self, feats: np.ndarray) -> np.ndarray:
         # clip: features constant in training (std floored) can be wildly
         # out-of-distribution at serve time; +-10 sigma keeps the MLP sane
         x = np.clip((np.atleast_2d(feats) - self.mean) / self.std, -10.0, 10.0)
-        p = np.asarray(self._forward(self.params, jnp.asarray(x)))
+        p = self._forward_np(x)
         a, b = self.calibration
         if (a, b) != (1.0, 0.0):
             logit = np.log(np.clip(p, 1e-7, 1 - 1e-7) / np.clip(1 - p, 1e-7, 1))
