@@ -282,6 +282,14 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
             self._finalize(job, error=f"{type(exc).__name__}: {exc}")
 
     def _finalize(self, job: _CascadeJob, error: Optional[str] = None) -> None:
+        # Idempotent: shutdown's sweep can race a still-draining scheduler
+        # thread's on_done callback for the same job (stop() joins with a
+        # timeout and cannot guarantee the thread exited) — the first
+        # finalizer wins, the loser must not double-count stats/observers.
+        with self._inflight_lock:
+            if job not in self._inflight:
+                return
+            self._inflight.discard(job)
         final = job.stage_results[-1] if job.stage_results else None
         final_idx = final.stage_index if final else -1
         job.error = error
@@ -297,8 +305,6 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
             error=error,
         )
         self._update_stats(job.result)
-        with self._inflight_lock:
-            self._inflight.discard(job)
         job.done.set()
 
     # -------------------------------------------------------------- blocking
@@ -360,6 +366,7 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
         emitted = ""
         n_seen = 0
         n_chunks = 0
+        sched = self.schedulers[stage_idx]
         while True:
             done = sreq.done
             n_now = len(sreq.out_tokens)
@@ -372,7 +379,13 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
                 n_seen = n_now
             if done:
                 break
-            time.sleep(0.002)
+            # escape hatch: a shut-down pipeline (or dead scheduler thread)
+            # never sets done on queued/in-flight streams — don't spin forever
+            if self._shutdown or sched._thread is None:
+                raise OptimizationError(
+                    "stream aborted: pipeline shut down mid-stream"
+                )
+            sreq.wait(0.002)
         if sreq.error:
             raise OptimizationError(f"stream failed: {sreq.error}")
         yield {

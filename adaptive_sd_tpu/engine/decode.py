@@ -478,8 +478,19 @@ def _make_verify_admit_fn(spec: ModelSpec, fwd):
         draft = jnp.take_along_axis(tokens, draft_idx, axis=1)       # [B, Dw]
         draft_len = total_lens - prompt_lens
 
-        # greedy path: longest prefix matching this model's argmax
-        logp_d = jax.nn.log_softmax(logits_d, axis=-1)
+        # Per-lane-temperature adjusted distribution — used for acceptance
+        # logprobs, the carried top-K support, and (stochastic rows) the
+        # exact rejection rule. Even GREEDY-accepted rows with temperature>0
+        # must be scored under their own temperature: accepted-token
+        # logprobs otherwise land on a different scale than lane-decoded
+        # tokens (skewing predictor features), and the carried q support
+        # would describe the wrong distribution for a later tier's verify
+        # (3+ tier chains through a greedy hop would lose exactness).
+        stoch = temps > 0.0
+        safe_t = jnp.where(stoch, temps, 1.0)
+        logp_d = jax.nn.log_softmax(logits_d / safe_t[:, None, None], axis=-1)
+        # greedy acceptance: longest prefix matching this model's argmax
+        # (argmax is invariant under the positive temperature scaling)
         pred = jnp.argmax(logits_d, axis=-1).astype(jnp.int32)
         valid = jnp.arange(max_draft)[None, :] < draft_len[:, None]
         match = jnp.logical_and(pred[:, :max_draft] == draft, valid)
@@ -493,24 +504,14 @@ def _make_verify_admit_fn(spec: ModelSpec, fwd):
             from ..ops.sampling import speculative_accept
 
             dlp_q, q_ids, q_probs = draft_q
-            stoch = temps > 0.0
-            safe_t = jnp.where(stoch, temps, 1.0)
-            # per-lane-temperature adjusted target distribution (lane
-            # sampling is temperature-only; top_p is not applied in
-            # scheduled mode)
-            logp_t = jax.nn.log_softmax(
-                logits_d / safe_t[:, None, None], axis=-1
-            )
+            # lane sampling is temperature-only; top_p is not applied in
+            # scheduled mode
+            logp_t = logp_d
             key, ka = jax.random.split(key)
             n_acc_s, tok_s, lp_s = speculative_accept(
                 ka, draft, dlp_q, q_ids, q_probs, logp_t, draft_len
             )
             n_acc = jnp.where(stoch, n_acc_s, n_acc)
-            draft_lp_s = jnp.take_along_axis(
-                logp_t[:, :max_draft], draft[:, :, None], axis=2
-            )[:, :, 0]
-            draft_lp = jnp.where(stoch[:, None], draft_lp_s, draft_lp)
-            logp_sel = logp_t  # support/bonus scoring under the adjusted dist
 
         next_logits = jnp.take_along_axis(logits_d, n_acc[:, None, None], axis=1)[:, 0]
         res = sample_rows(next_logits, key, temps)

@@ -186,6 +186,13 @@ class PrefixCache:
             while len(self._entries) > self.max_pages and self._evict_lru():
                 pass
 
+    def evict_one(self) -> bool:
+        """Evict one refcount-0 LRU entry (allocator-pressure hook for the
+        scheduler: cached-but-idle pages are reclaimed before live lanes are
+        preempted). Returns False when nothing is evictable."""
+        with self._lock:
+            return self._evict_lru()
+
     def invalidate(self, keys: Sequence[bytes]) -> None:
         """Drop entries whose fill failed (pages freed)."""
         with self._lock:

@@ -23,6 +23,7 @@ continuous batching scheduler"). Design:
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
 import time
@@ -70,6 +71,9 @@ class SchedRequest:
     page_offset: int = 0
     held_keys: list = field(default_factory=list)
     fill_keys: list = field(default_factory=list)
+    # times this request was preempted under KV-page pressure (its pages were
+    # reclaimed and it re-queued for recompute admission)
+    preemptions: int = 0
     done: bool = False
     error: Optional[str] = None
     finished_at: float = 0.0
@@ -108,6 +112,9 @@ class ContinuousBatchingScheduler:
         self.max_pages = (max_context + self.page - 1) // self.page
         self._lanes: list[Optional[SchedRequest]] = [None] * max_batch
         self._queue: "queue.Queue[SchedRequest]" = queue.Queue()
+        # preempted requests waiting for recompute re-admission; served BEFORE
+        # the arrival queue (they are the oldest work — FIFO fairness)
+        self._resume: collections.deque[SchedRequest] = collections.deque()
         # Idle/retired lanes point at an out-of-range page so their decode
         # writes are dropped by the scatter instead of corrupting page 0 (or
         # whatever page a stale table row referenced).
@@ -119,6 +126,11 @@ class ContinuousBatchingScheduler:
         self._thread: Optional[threading.Thread] = None
         self.steps = 0
         self.completed = 0
+        self.preemptions = 0
+        # monotone admission counter: admission RNG keys must advance even
+        # when self.steps does not (a step that dispatches nothing), or
+        # successive admission rounds would reuse identical sampling keys
+        self._admission_seq = 0
         from .native_bridge import make_lanes
 
         # C++ lane table mirror (None -> Python scan). Lane choice stays in
@@ -165,15 +177,25 @@ class ContinuousBatchingScheduler:
     def _free_lane_ids(self) -> list[int]:
         return [i for i, r in enumerate(self._lanes) if r is None]
 
+    @staticmethod
+    def _seq(req: SchedRequest) -> list[int]:
+        """The token sequence admission must prefill: the prompt plus any
+        tokens already generated before a preemption (recompute resume)."""
+        return req.prompt + req.out_tokens if req.out_tokens else req.prompt
+
     def _admit(self) -> int:
         """Move waiting requests into free lanes. Plain requests batch one
         prefill+sample dispatch; draft-carrying escalations batch one
         verify+sample dispatch (accepted prefix lands immediately, the lane
-        resumes after it)."""
+        resumes after it). Preempted requests (``_resume``) re-admit first:
+        their generated-so-far tokens are recomputed as part of the prefill
+        (vLLM-style recompute preemption)."""
         free = self._free_lane_ids()
         if not free:
             return 0
         batch: list[tuple[int, SchedRequest]] = []
+        while len(batch) < len(free) and self._resume:
+            batch.append((free[len(batch)], self._resume.popleft()))
         deadline = time.monotonic() + self._admission_wait
         while len(batch) < len(free):
             timeout = deadline - time.monotonic()
@@ -207,11 +229,13 @@ class ContinuousBatchingScheduler:
                 req._event.set()
 
         batch_fills: set = set()
-        try:
-            for lane, req in batch:
+        admitted: list[tuple[int, SchedRequest]] = []
+        for bi, (lane, req) in enumerate(batch):
+            try:
+                seq = self._seq(req)
                 pref_pages: list[int] = []
                 if prefix is not None:
-                    pref_pages, n_reused, held, fill = prefix.acquire(req.prompt)
+                    pref_pages, n_reused, held, fill = prefix.acquire(seq)
                     req.n_reused = n_reused
                     req.page_offset = len(pref_pages)
                     req.held_keys = held
@@ -227,23 +251,36 @@ class ContinuousBatchingScheduler:
                             req.n_reused = min(req.n_reused, ci * self.page)
                             break
                     batch_fills.update(req.fill_keys)
-                total = len(req.prompt) + (len(req.draft) if req.draft else 0)
+                total = len(seq) + (len(req.draft) if req.draft else 0)
                 needed = min((total + self.page) // self.page + 1, self.max_pages)
-                own = self.engine.allocator.ensure(
-                    req.request_id, max(needed - req.page_offset, 1)
+                own = self._alloc_admission(
+                    req, max(needed - req.page_offset, 1)
                 )
                 self._tables[lane, :] = self._oob_page
                 if pref_pages:
                     self._tables[lane, : len(pref_pages)] = pref_pages
                 self._tables[lane, req.page_offset : req.page_offset + len(own)] = own
-        except ResourceError as exc:
-            _fail_batch(exc)
+                admitted.append((lane, req))
+            except ResourceError as exc:
+                # Transient KV-page pressure must never error a request: park
+                # this one and the rest of the batch at the FRONT of the
+                # resume queue (they are the oldest work) and retry once
+                # pages free; the batch-mates that already got their pages
+                # proceed. Only a request that can never fit — it alone needs
+                # more pages than the pool holds — is failed outright.
+                self._requeue_batch(batch[bi:], exc)
+                break
+        if not admitted:
             return 0
+        batch = admitted
 
         plain = [(lane, req) for lane, req in batch if not req.draft]
         drafted = [(lane, req) for lane, req in batch if req.draft]
-        # fold_in(1) keeps admission keys disjoint from the decode-step keys
-        key = jax.random.fold_in(jax.random.key(self.steps), 1)
+        # dedicated monotone counter (NOT self.steps, which stalls when a
+        # step dispatches nothing); fold_in(1) keeps admission keys disjoint
+        # from the decode-step keys
+        self._admission_seq += 1
+        key = jax.random.fold_in(jax.random.key(self._admission_seq), 1)
 
         try:
             if plain:
@@ -258,18 +295,19 @@ class ContinuousBatchingScheduler:
                 temps = np.zeros((nb,), np.float32)
                 temps[:n] = [r.temperature for _, r in plain]
                 topk = self.spec_topk if any(r.temperature > 0 for _, r in plain) else 0
+                seqs = [self._seq(r) for _, r in plain]
                 if prefix is not None:
                     # prefix-cache admission: prefill only the uncached
                     # suffix windows (offsets 0 rows degrade to full prefill)
                     W = _bucket_len(
-                        max(len(r.prompt) - r.n_reused for _, r in plain),
+                        max(len(s) - r.n_reused for s, (_, r) in zip(seqs, plain)),
                         min(64, self.page),
                     )
                     tokens = np.full((nb, W), PAD_ID, np.int32)
                     offsets = np.zeros((nb,), np.int32)
                     win_lens = np.ones((nb,), np.int32)
-                    for row, (lane, req) in enumerate(plain):
-                        sx = req.prompt[req.n_reused:]
+                    for row, (seq, (lane, req)) in enumerate(zip(seqs, plain)):
+                        sx = seq[req.n_reused:]
                         tokens[row, : len(sx)] = sx
                         offsets[row] = req.n_reused
                         win_lens[row] = len(sx)
@@ -278,23 +316,23 @@ class ContinuousBatchingScheduler:
                         return_topk=topk,
                     )
                 else:
-                    S = _bucket_len(max(len(r.prompt) for _, r in plain), self.page)
+                    S = _bucket_len(max(len(s) for s in seqs), self.page)
                     tokens = np.full((nb, S), PAD_ID, np.int32)
                     seq_lens = np.ones((nb,), np.int32)
-                    for row, (lane, req) in enumerate(plain):
-                        tokens[row, : len(req.prompt)] = req.prompt
-                        seq_lens[row] = len(req.prompt)
+                    for row, (seq, (lane, req)) in enumerate(zip(seqs, plain)):
+                        tokens[row, : len(seq)] = seq
+                        seq_lens[row] = len(seq)
                     toks, lps, q_out = self.engine.prefill_sample_batch(
                         tokens, seq_lens, tables, temps, key, return_topk=topk,
                     )
-                for row, (lane, req) in enumerate(plain):
+                for row, (seq, (lane, req)) in enumerate(zip(seqs, plain)):
                     req.next_token = int(toks[row])
                     req.out_tokens.append(req.next_token)
                     req.out_logprobs.append(float(lps[row]))
                     if q_out and req.temperature > 0:
                         req.out_topk_ids.append(q_out[0][row])
                         req.out_topk_probs.append(q_out[1][row])
-                    req.position = len(req.prompt)
+                    req.position = len(seq)
 
             if drafted:
                 # one verify dispatch per (stochastic support width) subgroup:
@@ -317,10 +355,119 @@ class ContinuousBatchingScheduler:
         for lane, req in batch:  # batch order == native lowest-free-lane order
             self._lanes[lane] = req
             if self._nlanes is not None:
-                budget = req.max_new - req.n_accepted if req.draft else req.max_new
-                got = self._nlanes.admit(req.position, max(budget, 0), req.next_token)
+                # emissions before this admission's own sampled token: the
+                # verified draft prefix (drafted), or recomputed tokens from a
+                # preemption (resumed) — the native budget is what remains
+                pre = max(len(req.out_tokens) - 1, 0)
+                got = self._nlanes.admit(
+                    req.position, max(req.max_new - pre, 0), req.next_token
+                )
                 assert got == lane, f"native lane table diverged: {got} != {lane}"
         return len(batch)
+
+    # ------------------------------------------------- page-pressure policy
+    def _alloc_admission(self, req: SchedRequest, n_own: int) -> list[int]:
+        """Admission page grant. New arrivals never preempt running lanes
+        (FIFO fairness: they wait instead), but idle refcount-0 prefix-cache
+        pages ARE reclaimed under pressure."""
+        while True:
+            try:
+                return self.engine.allocator.ensure(req.request_id, n_own)
+            except ResourceError:
+                prefix = self.engine.prefix_cache
+                if prefix is None or not prefix.evict_one():
+                    raise
+
+    def _requeue_batch(self, batch, exc: ResourceError) -> None:
+        """Back out an admission batch that hit page pressure: release any
+        prefix refs / pages taken, then park the requests at the FRONT of the
+        resume queue. A request that cannot fit even into an empty pool is
+        failed permanently instead."""
+        for lane, req in reversed(batch):
+            self._release_prefix(req, failed=True)
+            self.engine.allocator.free_request(req.request_id)
+            self._tables[lane, :] = self._oob_page
+            self._lanes[lane] = None
+            req.n_reused = 0
+            req.page_offset = 0
+            total = len(self._seq(req)) + (len(req.draft) if req.draft else 0)
+            needed = min((total + self.page) // self.page + 1, self.max_pages)
+            if needed > self.engine.allocator.n_pages:
+                req.error = str(exc)
+                req.done = True
+                if req.on_done is not None:
+                    try:
+                        req.on_done(req)
+                    except Exception:  # noqa: BLE001
+                        pass
+                req._event.set()
+            else:
+                self._resume.appendleft(req)
+
+    def _pick_victim(self, exclude: int = -1) -> Optional[int]:
+        """Newest-arrival occupied lane — the preemption victim (oldest work
+        keeps its pages; FIFO fairness under pressure)."""
+        cands = [
+            (req.arrival, lane)
+            for lane, req in enumerate(self._lanes)
+            if req is not None and lane != exclude
+        ]
+        return max(cands)[1] if cands else None
+
+    def _preempt(self, lane: int) -> None:
+        """Reclaim a lane's KV pages and park its request for recompute
+        re-admission (role parity: vLLM's RECOMPUTE preemption — the
+        capability the reference rents, SURVEY.md §2.8). The generated-so-far
+        tokens are kept; admission re-prefills [prompt + generated] and the
+        lane resumes exactly where it left off (identical output at
+        temperature 0)."""
+        req = self._lanes[lane]
+        if req is None:
+            return
+        self._release_prefix(req)  # fills were written by admission: keep them
+        self.engine.allocator.free_request(req.request_id)
+        self._tables[lane, :] = self._oob_page
+        self._lanes[lane] = None
+        if self._nlanes is not None:
+            self._nlanes.release(lane)
+        # the draft admission already ran; its accepted prefix lives in
+        # out_tokens, so the request resumes as a plain recompute
+        req.draft = None
+        req.draft_q = None
+        req.n_reused = 0
+        req.page_offset = 0
+        req.preemptions += 1
+        self.preemptions += 1
+        self._resume.appendleft(req)
+
+    def _ensure_pages(self, lane: int, req: SchedRequest, needed: int):
+        """Grow a lane's pages to ``needed``, preempting the newest lanes on
+        exhaustion. Returns the page list, or None when the lane itself had
+        to be preempted (it was the newest — nothing older to reclaim)."""
+        while True:
+            try:
+                return self.engine.allocator.ensure(
+                    req.request_id, max(needed - req.page_offset, 1)
+                )
+            except ResourceError:
+                # cheapest reclaim first: idle (refcount-0) prefix-cache pages
+                prefix = self.engine.prefix_cache
+                if prefix is not None and prefix.evict_one():
+                    continue
+                victim = self._pick_victim()
+                if victim is None or victim == lane:
+                    # the requester IS the newest (or only) lane: it yields
+                    self._preempt(lane)
+                    return None
+                self._preempt(victim)
+
+    def _fail_all_lanes(self, exc: Exception) -> None:
+        """Last-resort recovery for an unexpected step() failure: retire
+        every active lane with the error instead of letting the scheduler
+        thread die (which would hang all in-flight and future requests)."""
+        for lane, req in enumerate(self._lanes):
+            if req is not None:
+                self._retire(lane, req, error=str(exc))
 
     def _admit_drafted(self, drafted, key, kq) -> None:
         """One fused verify+sample dispatch for a drafted-admission subgroup.
@@ -493,21 +640,28 @@ class ContinuousBatchingScheduler:
         if n_steps > 1:
             return self._step_scan(still, n_steps)
 
-        tokens = np.full((self.max_batch,), PAD_ID, np.int32)
-        positions = np.zeros((self.max_batch,), np.int32)
-        temps = np.zeros((self.max_batch,), np.float32)
+        # page growth first (it can preempt lanes under pressure), THEN build
+        # the dispatch arrays from the surviving lanes
         for lane, req, needs_page in still:
-            if needs_page:
+            if needs_page and self._lanes[lane] is req:
                 # crossing a page boundary next write: grow one page ahead
                 # (admission pre-allocated through the first boundary). Own
                 # pages sit after the cache-owned prefix pages in the table.
                 needed = min((req.position + 1) // self.page + 1, self.max_pages)
-                pages = self.engine.allocator.ensure(
-                    req.request_id, max(needed - req.page_offset, 1)
-                )
+                pages = self._ensure_pages(lane, req, needed)
+                if pages is None:
+                    continue  # this lane was preempted; skip it this step
                 self._tables[
                     lane, req.page_offset : req.page_offset + len(pages)
                 ] = pages
+        still = [(lane, req, n) for lane, req, n in still if self._lanes[lane] is req]
+        if not still:
+            return 0
+
+        tokens = np.full((self.max_batch,), PAD_ID, np.int32)
+        positions = np.zeros((self.max_batch,), np.int32)
+        temps = np.zeros((self.max_batch,), np.float32)
+        for lane, req, _ in still:
             tokens[lane] = req.next_token
             positions[lane] = req.position
             temps[lane] = req.temperature
@@ -534,26 +688,35 @@ class ContinuousBatchingScheduler:
         """Advance the active lanes by up to ``n_steps`` tokens in ONE
         dispatch (engine.decode_sample_scan). Pages are pre-grown to cover
         the whole scan; per-lane budgets/eos mask emissions on device."""
-        tokens = np.full((self.max_batch,), PAD_ID, np.int32)
-        positions = np.zeros((self.max_batch,), np.int32)
-        temps = np.zeros((self.max_batch,), np.float32)
-        remaining = np.zeros((self.max_batch,), np.int32)
+        # page growth first (it can preempt lanes under pressure), THEN build
+        # the dispatch arrays from the surviving lanes
         for lane, req, _needs in still:
+            if self._lanes[lane] is not req:
+                continue
             budget = max(req.max_new - len(req.out_tokens), 0)
             needed = min(
                 (req.position + min(n_steps, budget) + 1) // self.page + 1,
                 self.max_pages,
             )
-            pages = self.engine.allocator.ensure(
-                req.request_id, max(needed - req.page_offset, 1)
-            )
+            pages = self._ensure_pages(lane, req, needed)
+            if pages is None:
+                continue  # this lane was preempted; skip it this scan
             self._tables[
                 lane, req.page_offset : req.page_offset + len(pages)
             ] = pages
+        still = [(lane, req, n) for lane, req, n in still if self._lanes[lane] is req]
+        if not still:
+            return 0
+
+        tokens = np.full((self.max_batch,), PAD_ID, np.int32)
+        positions = np.zeros((self.max_batch,), np.int32)
+        temps = np.zeros((self.max_batch,), np.float32)
+        remaining = np.zeros((self.max_batch,), np.int32)
+        for lane, req, _ in still:
             tokens[lane] = req.next_token
             positions[lane] = req.position
             temps[lane] = req.temperature
-            remaining[lane] = budget
+            remaining[lane] = max(req.max_new - len(req.out_tokens), 0)
 
         self.steps += 1
         topk = self.spec_topk if any(r.temperature > 0 for _, r, _ in still) else 0
@@ -582,7 +745,12 @@ class ContinuousBatchingScheduler:
         """Drain queue + lanes (offline/batch mode)."""
         for _ in range(max_steps):
             n = self.step(self.scan_steps)
-            if n == 0 and self._queue.empty() and not any(self._lanes):
+            if (
+                n == 0
+                and self._queue.empty()
+                and not self._resume
+                and not any(self._lanes)
+            ):
                 return
 
     def start(self) -> None:
@@ -602,7 +770,14 @@ class ContinuousBatchingScheduler:
             # step() admits first, so waiting requests enter lanes before
             # each scan; scanning costs new arrivals at most one scan's wall
             # time of admission latency
-            n = self.step(self.scan_steps)
+            try:
+                n = self.step(self.scan_steps)
+            except Exception as exc:  # noqa: BLE001 - the loop must survive
+                # an unexpected step failure: fail the active lanes (their
+                # requests see the error) instead of dying silently, which
+                # would hang every in-flight and future request on this tier
+                self._fail_all_lanes(exc)
+                n = 0
             if n == 0:
                 time.sleep(0.001)
 
@@ -612,7 +787,9 @@ class ContinuousBatchingScheduler:
             "lanes": self.max_batch,
             "occupied": occ,
             "queued": self._queue.qsize(),
+            "resume_queued": len(self._resume),
             "steps": self.steps,
             "completed": self.completed,
+            "preemptions": self.preemptions,
             "allocator": vars(self.engine.allocator.stats()),
         }

@@ -35,23 +35,34 @@ from jax.experimental.pallas import tpu as pltpu
 from .quant import QuantizedTensor, unpack_int4, unpack_int4_halves
 
 
-def _pick_block(dim: int, candidates: tuple[int, ...]) -> int:
-    for c in candidates:
-        if dim % c == 0:
-            return c
-    return dim
+def _pick_block(dim: int, cap: int) -> int:
+    """Largest divisor of ``dim`` that is a multiple of 128 (TPU lane
+    granularity) and <= cap. Divisor-aware rather than power-of-two-only:
+    Qwen's non-power-of-two dims (ffn 29568 = 128*231, gateup 59136) would
+    otherwise degenerate to 128-wide blocks whose per-grid-step overhead
+    dominates the weight stream (measured ~430 vs ~530+ G-elem/s)."""
+    if dim % 128:
+        return dim  # irregular dim: wrappers fall back to the XLA path
+    units = dim // 128
+    best = 1
+    for u in range(2, min(units, max(cap, 128) // 128) + 1):
+        if units % u == 0:
+            best = u
+    return best * 128
 
 
 _VMEM_BUDGET = 12 << 20  # leave headroom under the 16 MB scoped limit
 
 
 def _fit_blocks(
-    M_pad: int, bn: int, bk: int, x_itemsize: int, two_x_slices: bool,
-    min_bk: int = 128,
+    M_pad: int, bn: int, bk: int, N: int, Kq: int, x_itemsize: int,
+    two_x_slices: bool, min_bk: int = 128,
 ) -> tuple[int, int]:
     """Shrink (bn, bk) until the kernel's VMEM footprint fits. The M axis is
     not blocked (decode keeps M small; prefill flattens B*S rows and lands
-    here with M in the thousands), so large M must trade against bk/bn."""
+    here with M in the thousands), so large M must trade against bk/bn.
+    Shrinking steps through valid divisors of the dim (see _pick_block), not
+    naive halving, so non-power-of-two dims keep lane-aligned blocks."""
 
     def est(bn_, bk_):
         x = M_pad * bk_ * x_itemsize * 2 * (2 if two_x_slices else 1)
@@ -62,9 +73,9 @@ def _fit_blocks(
 
     while est(bn, bk) > _VMEM_BUDGET and (bn > 128 or bk > min_bk):
         if bk >= bn and bk > min_bk:
-            bk //= 2
+            bk = max(_pick_block(Kq, bk // 2), min_bk)
         elif bn > 128:
-            bn //= 2
+            bn = _pick_block(N, bn // 2)
         else:
             break
     return bn, bk
@@ -112,10 +123,15 @@ def _matmul_int4_kernel(xlo_ref, xhi_ref, w_ref, s_ref, o_ref, acc_ref):
         o_ref[:] = (acc_ref[:] * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-def _matmul_int4g_kernel(xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref, o_ref, acc_ref):
+def _matmul_int4g_kernel(xlo_ref, xhi_ref, w_ref, s_ref, o_ref, acc_ref):
     """Group-wise INT4: block_k == group_size, so each K step's lo/hi halves
     each align with exactly one scale group — the per-group scale multiplies
-    the partial dot before accumulation (f32)."""
+    the partial dot before accumulation (f32).
+
+    The whole scale table rides in VMEM as one (n_groups, bn) block (a
+    (1, bn) row block would violate the TPU sublane constraint: the
+    second-minor block dim must be a multiple of 8 or the full array dim);
+    rows k (lo half) and k + nk (hi half) are dynamically sliced per step."""
     k = pl.program_id(1)
     nk = pl.num_programs(1)
 
@@ -124,11 +140,13 @@ def _matmul_int4g_kernel(xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref, o_ref, acc_r
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     lo, hi = unpack_int4_halves(w_ref[:])
+    slo = s_ref[pl.ds(k, 1), :].astype(jnp.float32)
+    shi = s_ref[pl.ds(k + nk, 1), :].astype(jnp.float32)
     acc_ref[:] += jnp.dot(
         xlo_ref[:], lo.astype(xlo_ref.dtype), preferred_element_type=jnp.float32
-    ) * slo_ref[:].astype(jnp.float32) + jnp.dot(
+    ) * slo + jnp.dot(
         xhi_ref[:], hi.astype(xhi_ref.dtype), preferred_element_type=jnp.float32
-    ) * shi_ref[:].astype(jnp.float32)
+    ) * shi
 
     @pl.when(k == nk - 1)
     def _finish():
@@ -172,9 +190,8 @@ def quantized_matmul(
             x, q, scale, interpret=interpret, out_dtype=out_dtype
         )
 
-    _CANDS = (8192, 4096, 2048, 1024, 512, 256, 128)
-    bn = _pick_block(N, tuple(b for b in _CANDS if b <= max(block_n, 128)))
-    bk = _pick_block(Kq, tuple(b for b in _CANDS if b <= max(block_k, 128)))
+    bn = _pick_block(N, block_n)
+    bk = _pick_block(Kq, block_k)
     if N % bn or Kq % bk:
         # Irregular dims: fall back to the XLA reference path.
         return quantized_matmul_ref(x, q, scale, bits=bits, out_dtype=out_dtype)
@@ -184,7 +201,7 @@ def quantized_matmul(
     if M_pad != M:
         x = jnp.pad(x, ((0, M_pad - M), (0, 0)))
 
-    bn, bk = _fit_blocks(M_pad, bn, bk, x.dtype.itemsize, two_x_slices=bits == 4)
+    bn, bk = _fit_blocks(M_pad, bn, bk, N, Kq, x.dtype.itemsize, two_x_slices=bits == 4)
     if N % bn or Kq % bk:
         return quantized_matmul_ref(x[:M], q, scale, bits=bits, out_dtype=out_dtype)
 
@@ -282,9 +299,8 @@ def quantized_matmul_w8a8(
     xs = jnp.maximum(xs, 1e-8)
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / xs), -127, 127).astype(jnp.int8)
 
-    _CANDS = (2048, 1024, 512, 256, 128)
-    bn = _pick_block(N, tuple(b for b in _CANDS if b <= max(block_n, 128)))
-    bk = _pick_block(K, tuple(b for b in _CANDS if b <= max(block_k, 128)))
+    bn = _pick_block(N, block_n)
+    bk = _pick_block(K, block_k)
     if N % bn or K % bk:
         acc = jax.lax.dot_general(
             xq, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
@@ -298,7 +314,7 @@ def quantized_matmul_w8a8(
         xq = jnp.pad(xq, ((0, M_pad - M), (0, 0)))
         xs = jnp.pad(xs, ((0, M_pad - M), (0, 0)), constant_values=1.0)
 
-    bn, bk = _fit_blocks(M_pad, bn, bk, 1, two_x_slices=False)
+    bn, bk = _fit_blocks(M_pad, bn, bk, N, K, 1, two_x_slices=False)
     if N % bn or K % bk:
         acc = jax.lax.dot_general(
             xq[:M], q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
@@ -336,13 +352,13 @@ def _quantized_matmul_int4_grouped(x, q, scale, *, interpret, out_dtype):
     gs = K // n_groups
     if Kq % gs or N % 128 or gs % 128 or gs > Kq:
         return quantized_matmul_ref(x, q, scale, bits=4, out_dtype=out_dtype)
-    bn = _pick_block(N, (1024, 512, 256, 128))
+    bn = _pick_block(N, 1024)
     nkb = Kq // gs
     sub = _sublane(x.dtype)
     M_pad = ((M + sub - 1) // sub) * sub
     if M_pad != M:
         x = jnp.pad(x, ((0, M_pad - M), (0, 0)))
-    bn, _ = _fit_blocks(M_pad, bn, gs, x.dtype.itemsize, two_x_slices=True, min_bk=gs)
+    bn, _ = _fit_blocks(M_pad, bn, gs, N, Kq, x.dtype.itemsize, two_x_slices=True, min_bk=gs)
     if N % bn:
         return quantized_matmul_ref(x[:M], q, scale, bits=4, out_dtype=out_dtype)
     out = pl.pallas_call(
@@ -352,8 +368,10 @@ def _quantized_matmul_int4_grouped(x, q, scale, *, interpret, out_dtype):
             pl.BlockSpec((M_pad, gs), lambda j, k: (0, k), memory_space=pltpu.VMEM),
             pl.BlockSpec((M_pad, gs), lambda j, k: (0, k + nkb), memory_space=pltpu.VMEM),
             pl.BlockSpec((gs, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda j, k: (k + nkb, j), memory_space=pltpu.VMEM),
+            # full scale table per N-tile (rows sliced in-kernel; see kernel)
+            pl.BlockSpec(
+                (n_groups, bn), lambda j, k: (0, j), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec((M_pad, bn), lambda j, k: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M_pad, N), out_dtype),
@@ -362,7 +380,7 @@ def _quantized_matmul_int4_grouped(x, q, scale, *, interpret, out_dtype):
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(x, x, q, scale, scale)
+    )(x, x, q, scale.astype(jnp.float32), )
     return out[:M]
 
 

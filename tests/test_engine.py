@@ -317,6 +317,95 @@ class TestContinuousBatchingScheduler:
         assert len(s1.out_tokens) == 5 and len(s2.out_tokens) == 5
 
 
+class TestPreemption:
+    """KV-page pressure policy: transient exhaustion must never error a
+    request — the newest lane is preempted (pages reclaimed, recompute
+    re-admission) and completes later with identical output (VERDICT #4;
+    role parity: vLLM swap/recompute, SURVEY.md §2.8)."""
+
+    def _engine(self, tiny_params, n_pages):
+        return TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=n_pages,
+                          use_pallas=False)
+
+    @pytest.mark.parametrize("scan_steps", [1, 4])
+    def test_preempted_request_completes_identically(self, tiny_params, scan_steps):
+        from adaptive_sd_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+        prompts = [[3, 14, 15, 9, 2, 6], [7, 8, 9, 1]]
+        ref_eng = self._engine(tiny_params, n_pages=64)
+        expected = [o.token_ids.tolist()
+                    for o in ref_eng.generate(prompts, max_new=30)]
+
+        # Pool sized so both admit (2 pages each) but the pool exhausts when
+        # decoding crosses page boundaries: 2 lanes eventually need 3 pages
+        # each (prompt + 30 tokens = 36 positions) against a 4-page pool.
+        eng = self._engine(tiny_params, n_pages=4)
+        sched = ContinuousBatchingScheduler(
+            eng, max_batch=2, max_context=128, scan_steps=scan_steps
+        )
+        a = sched.submit(prompts[0], max_new=30)
+        b = sched.submit(prompts[1], max_new=30)
+        sched.run_until_idle()
+        assert a.done and b.done and not a.error and not b.error
+        assert a.out_tokens == expected[0]
+        assert b.out_tokens == expected[1]
+        assert sched.preemptions >= 1
+        assert (a.preemptions + b.preemptions) == sched.preemptions
+        assert eng.allocator.stats().active_requests == 0
+
+    def test_admission_waits_instead_of_failing(self, tiny_params):
+        """Arrivals beyond pool capacity queue (FIFO) rather than erroring;
+        everything completes as lanes drain."""
+        from adaptive_sd_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+        eng = self._engine(tiny_params, n_pages=4)
+        sched = ContinuousBatchingScheduler(eng, max_batch=4, max_context=128)
+        reqs = [
+            sched.submit([i + 1, i + 2, i + 3], max_new=20) for i in range(5)
+        ]
+        sched.run_until_idle()
+        assert all(r.done and not r.error for r in reqs)
+        assert all(len(r.out_tokens) == 20 for r in reqs)
+        assert eng.allocator.stats().active_requests == 0
+
+    def test_impossible_request_fails_cleanly(self, tiny_params):
+        """A request that cannot fit even into an EMPTY pool fails with an
+        error instead of looping forever."""
+        from adaptive_sd_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+        eng = self._engine(tiny_params, n_pages=2)
+        sched = ContinuousBatchingScheduler(eng, max_batch=2, max_context=128)
+        r = sched.submit(list(range(1, 41)), max_new=8)  # needs 4 pages, pool 2
+        sched.run_until_idle()
+        assert r.done and r.error is not None
+        assert eng.allocator.stats().active_requests == 0
+
+    def test_loop_thread_survives_step_failure(self, tiny_params):
+        """An unexpected step() exception fails the active lanes (requests
+        see the error) but the scheduler thread keeps serving new work."""
+        from adaptive_sd_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+        eng = self._engine(tiny_params, n_pages=64)
+        sched = ContinuousBatchingScheduler(eng, max_batch=2, max_context=64)
+        sched.start()
+        boom = {"armed": True}
+        orig = eng.decode_sample_batch
+
+        def flaky(*args, **kwargs):
+            if boom.pop("armed", False):
+                raise RuntimeError("injected device failure")
+            return orig(*args, **kwargs)
+
+        eng.decode_sample_batch = flaky
+        r1 = sched.submit([1, 2, 3], max_new=6)
+        assert r1.wait(30.0)
+        assert r1.error is not None and "injected" in r1.error
+        r2 = sched.submit([4, 5, 6], max_new=6)
+        assert r2.wait(30.0)
+        assert not r2.error and len(r2.out_tokens) == 6
+        sched.stop()
+
+
 class TestStreaming:
     def test_stream_matches_fused(self, tiny_params):
         eng = TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=64, use_pallas=False)
