@@ -260,7 +260,9 @@ def _make_verify_continue_fn(spec: ModelSpec, fwd):
                        # tokens are marginally ~ this tier's adjusted
                        # distribution (the rejection-rule theorem), so q for
                        # the next verifier is top-K of logp_t per slot.
-                       # Only meaningful on the stochastic path (draft_q).
+                       # Applies at temperature > 0 on BOTH acceptance paths
+                       # (with draft_q: exact; greedy hop: the support still
+                       # describes this tier's adjusted distribution).
         cached=False,  # static; prefix-cache mode (see ``offsets``)
     ):
         B, S = tokens.shape
@@ -311,24 +313,48 @@ def _make_verify_continue_fn(spec: ModelSpec, fwd):
                 w_probs = jnp.exp(w_lp)
         else:
             # Greedy acceptance: longest prefix where this model's argmax
-            # equals the draft token.
-            logp_d = jax.nn.log_softmax(logits_d, axis=-1)              # [B, Dw+1, V]
+            # equals the draft token (argmax is invariant under the
+            # temperature/top_p adjustment, so acceptance is unchanged) —
+            # but logprobs, the bonus token, and any carried top-K support
+            # must use the tier's OWN adjusted distribution at temperature>0,
+            # or downstream consumers (predictor features, a later tier's
+            # stochastic verify) see the wrong scale/distribution.
+            from ..ops.sampling import adjusted_logits
+
+            stochastic = temperature is not None and temperature > 0.0
+            logp_d = jax.nn.log_softmax(
+                adjusted_logits(logits_d, temperature, top_p)
+                if stochastic else logits_d,
+                axis=-1,
+            )                                                           # [B, Dw+1, V]
             pred = jnp.argmax(logits_d, axis=-1).astype(jnp.int32)      # [B, Dw+1]
             valid = jnp.arange(max_draft)[None, :] < draft_len[:, None]
             match = jnp.logical_and(pred[:, :max_draft] == draft, valid)
             n_acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)  # [B]
 
-            # Verifier's token at the first mismatch (or right after the draft).
+            # Verifier's token at the first mismatch (or right after the
+            # draft): argmax at temperature 0, a SAMPLE from the adjusted
+            # distribution at temperature > 0 (the tier's own sampling
+            # semantics — an argmax bonus would bias sampled escalations).
             bonus_pos = n_acc  # in [0, max_draft]; the +1 window makes it valid
-            bonus_tok = jnp.take_along_axis(pred, bonus_pos[:, None], axis=1)[:, 0]
-            bonus_lp = jnp.take_along_axis(
-                jnp.take_along_axis(logp_d, bonus_pos[:, None, None], axis=1)[:, 0],
-                bonus_tok[:, None],
-                axis=1,
-            )[:, 0]
+            sel_logp = jnp.take_along_axis(
+                logp_d, bonus_pos[:, None, None], axis=1
+            )[:, 0]                                                     # [B, V]
+            if stochastic:
+                key, kb = jax.random.split(key)
+                bonus_tok = jax.random.categorical(kb, sel_logp).astype(jnp.int32)
+            else:
+                bonus_tok = jnp.take_along_axis(pred, bonus_pos[:, None], axis=1)[:, 0]
+            bonus_lp = jnp.take_along_axis(sel_logp, bonus_tok[:, None], axis=1)[:, 0]
             draft_lp = jnp.take_along_axis(
                 logp_d[:, :max_draft], draft[:, :, None], axis=2
             )[:, :, 0]
+            if return_topk:
+                # carry this tier's own adjusted-distribution support even
+                # through a greedy-acceptance hop, so a later tier can run
+                # the stochastic rule against the right q (PARITY r1 gap)
+                w_lp, w_ids = jax.lax.top_k(logp_d, return_topk)
+                w_probs = jnp.exp(w_lp)
 
         # Output buffer: accepted draft prefix, then the bonus token, then
         # continued decoding. Write index is per-request.
@@ -782,11 +808,11 @@ class TierEngine:
 
         # automatic prefix caching: content-addressed KV-page reuse across
         # requests (engine/prefix_cache.py); generation then prefills only
-        # the uncached suffix window. Not yet available on the shard_map TP
-        # path (prefill_window is single-device/GSPMD for now).
+        # the uncached suffix window — on the single-device/GSPMD path AND
+        # the shard_map TP path (qwen_tp prefill_window).
         self.prefix_cache = None
         self._generate_cached_jit = None
-        if enable_prefix_cache and not self.tp_mode:
+        if enable_prefix_cache:
             from .prefix_cache import PrefixCache
 
             self.prefix_cache = PrefixCache(self.allocator, page_size)
@@ -1288,8 +1314,8 @@ class TierEngine:
                 qids[i, :d] = np.asarray(ids, np.int32)[:d]
                 qpr[i, :d] = np.asarray(pr, np.float32)[:d]
             dq_args = (jnp.asarray(dlp), jnp.asarray(qids), jnp.asarray(qpr))
-        if not dq_args:
-            return_topk = 0  # only the stochastic path emits exact q support
+        if temperature <= 0.0:
+            return_topk = 0  # greedy consumers re-verify greedily; no q needed
 
         rid = f"ver{id(self)}_{time.monotonic_ns()}"
         tables = np.full((Bb, max_pages), self.allocator.n_pages, np.int32)

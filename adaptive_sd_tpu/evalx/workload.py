@@ -1,0 +1,132 @@
+"""Synthetic-but-principled benchmark workload for the headline bench.
+
+The round-1 bench calibrated its difficulty model to reproduce the
+reference's published λ=1.0 stage distribution (capacities [0.72, 0.86,
+0.98], slope 16 — VERDICT round-1 "What's weak" #1: circular). This module
+replaces it with a workload built from neutral primitives so that the stage
+distribution and quality preservation the bench reports are OUTPUTS of the
+system under test (trained predictor → DP policy), with no constant
+traceable to the target distribution:
+
+* Items span ``N_LEVELS`` complexity levels; difficulty d = (level + U)/N,
+  uniform on [0, 1) marginally. The level manifests in OBSERVABLE prompt
+  text (length, reasoning/math vocabulary, clause density), so a
+  feature-based predictor genuinely learns the mapping — and its
+  train→eval generalization error is real, not injected Gaussian noise.
+* Tier capability: P(tier k solves item) = sigmoid((cap_k − d) / s). The
+  cap_k come from the theory layer's per-stage quality bounds
+  (policy/theory.py TheoreticalParameters.quality_bounds — the problem's
+  config surface, reference src/theory/optimal_stopping.py:38-43): by
+  sigmoid symmetry over the uniform difficulty marginal, tier k's expected
+  solve rate over the whole workload ≈ cap_k, which is exactly what a
+  "quality bound" asserts. Dispersion ``s`` is a free workload parameter
+  (how cleanly tasks separate into solvable/unsolvable per tier).
+* Quality labels remain model-generated (the environment has no real model
+  weights or datasets — PARITY.md); benches must report
+  ``quality_model: "synthetic-workload"`` so the number is never mistaken
+  for a measured-model result.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Sequence
+
+import numpy as np
+
+N_LEVELS = 5
+
+# Word pools per complexity level. Level-correlated vocabulary overlaps the
+# predictor's task-indicator lexicon (predict/features.py) the way real task
+# mixes do: factual lookups are easy, rigorous derivations are hard.
+_TOPICS = [
+    "the capital of France", "the boiling point of water", "photosynthesis",
+    "binary search", "a haiku about rain", "the French Revolution",
+    "gradient descent", "the Riemann hypothesis", "TCP congestion control",
+    "protein folding", "the halting problem", "market equilibria",
+]
+_LEVEL_STEMS = [
+    ["What is {t}?", "Define {t}.", "Name {t}.", "When was {t} discovered?"],
+    ["Summarize {t} in two sentences.", "List three facts about {t}.",
+     "Translate the phrase '{t}' into simple terms."],
+    ["Explain how {t} works, step by step.", "Write a short function about {t}.",
+     "Compare {t} with its closest alternative."],
+    ["Analyze the tradeoffs of {t} and argue for one design.",
+     "Solve this multi-step problem involving {t} and show your reasoning.",
+     "Derive the update equation connected to {t} and verify each step."],
+    ["Rigorously prove the optimality condition underlying {t}, analyze the "
+     "regret bound, and evaluate whether the sample complexity is tight.",
+     "Construct a counterexample for the naive approach to {t}, then prove "
+     "the corrected theorem and compute the asymptotic constants."],
+]
+_FILLER = [
+    "Consider all relevant assumptions.", "Keep the answer concise.",
+    "Use precise terminology.", "Cite the key equation where needed.",
+    "State intermediate results explicitly.", "Avoid hand-waving.",
+]
+
+
+@dataclass(frozen=True)
+class WorkloadItem:
+    prompt: str
+    difficulty: float   # in [0, 1)
+    level: int          # 0..N_LEVELS-1
+
+
+def tier_capabilities(n_tiers: int) -> np.ndarray:
+    """Per-tier solve rates from the theory layer's quality bounds: the
+    first ``n_tiers - 1`` bounds plus the last (largest tier), matching how
+    a 3-tier 7B→32B→72B cascade subsamples the 4-stage bound table."""
+    from ..policy.theory import TheoreticalParameters
+
+    bounds = list(TheoreticalParameters().quality_bounds)
+    if n_tiers >= len(bounds):
+        return np.asarray(bounds[:n_tiers], np.float64)
+    # keep the smallest tier's bound and the LARGEST n_tiers-1 bounds: a
+    # 3-tier 7B→32B→72B cascade drops the 14B row of the 4-stage table
+    return np.asarray([bounds[0]] + bounds[-(n_tiers - 1):], np.float64)
+
+
+def make_workload(n: int, seed: int = 0) -> list[WorkloadItem]:
+    """``n`` items, levels uniform, difficulty = (level + U)/N_LEVELS."""
+    rng = np.random.default_rng(seed)
+    items: list[WorkloadItem] = []
+    for i in range(n):
+        level = int(rng.integers(N_LEVELS))
+        d = (level + float(rng.random())) / N_LEVELS
+        stem = _LEVEL_STEMS[level][int(rng.integers(len(_LEVEL_STEMS[level])))]
+        topic = _TOPICS[int(rng.integers(len(_TOPICS)))]
+        prompt = stem.format(t=topic)
+        # harder prompts are longer and denser (observable difficulty signal)
+        for _ in range(level + int(rng.integers(0, 2))):
+            prompt += " " + _FILLER[int(rng.integers(len(_FILLER)))]
+        items.append(WorkloadItem(prompt=prompt, difficulty=d, level=level))
+    return items
+
+
+def solve_prob(cap: float, difficulty: float, dispersion: float = 0.15) -> float:
+    """P(a tier with capability ``cap`` solves an item of ``difficulty``)."""
+    return 1.0 / (1.0 + math.exp(-(cap - difficulty) / dispersion))
+
+
+def solve_prob_matrix(
+    items: Sequence[WorkloadItem], caps: np.ndarray, dispersion: float = 0.15
+) -> np.ndarray:
+    """[n_items, n_tiers] ground-truth solve probabilities."""
+    d = np.asarray([it.difficulty for it in items])[:, None]
+    return 1.0 / (1.0 + np.exp(-(caps[None, :] - d) / dispersion))
+
+
+def realize_goodness(
+    items: Sequence[WorkloadItem],
+    caps: np.ndarray,
+    *,
+    dispersion: float = 0.15,
+    seed: int = 0,
+) -> np.ndarray:
+    """[n_items, n_tiers] bool — one Bernoulli realization of which tiers'
+    answers are good for each item (the world the bench scores against)."""
+    rng = np.random.default_rng(seed)
+    p = solve_prob_matrix(items, caps, dispersion)
+    return rng.random(p.shape) < p

@@ -368,6 +368,7 @@ def prefill_window(
     *,
     use_pallas: bool = True,
     act_quant: bool = False,
+    tp_axis=None,
 ):
     """Chunked prefill: process a WINDOW of tokens whose prefix KV is already
     in the cache pages (prefix caching / chunked long-prompt prefill / the
@@ -376,12 +377,15 @@ def prefill_window(
     (ops/attention.py paged_window_attention). Returns (hidden [B, W, H]
     pre-final-norm, cache); callers take logits via :func:`logits_at`.
 
+    ``tp_axis``: see :func:`prefill` — shard_map TP mode (spec carries LOCAL
+    head/ffn counts; KV pages are head-sharded; one psum per sublayer).
+
     Role parity: vLLM's chunked-prefill + prefix-caching execution path
     (capabilities the reference rents, SURVEY.md §2.8)."""
     from ..ops.attention import paged_window_attention, paged_window_attention_ref
 
     B, W = tokens.shape
-    h = _embed(params, spec, tokens, None)
+    h = _embed(params, spec, tokens, tp_axis)
     positions = offsets[:, None] + jnp.arange(W)[None, :]     # [B, W]
     cos, sin = rope_tables(positions, spec.head_dim, spec.rope_theta)
     cos, sin = cos[:, :, None, :], sin[:, :, None, :]
@@ -417,10 +421,14 @@ def prefill_window(
         )
         attn = attn.reshape(B, spec.n_kv_heads, W, G, spec.head_dim)
         attn = jnp.swapaxes(attn, 1, 2).reshape(B, W, spec.n_heads * spec.head_dim)
-        h = h + linear(attn, layer["o_proj"], use_pallas=use_pallas, act_quant=act_quant)
+        attn_out = linear(attn, layer["o_proj"], use_pallas=use_pallas, act_quant=act_quant)
+        if tp_axis is not None:
+            attn_out = jax.lax.psum(attn_out, tp_axis)
+        h = h + attn_out
 
         x = rms_norm(h, layer["post_norm"], spec.rms_eps)
-        h = h + _mlp(spec, layer, x, use_pallas=use_pallas, act_quant=act_quant)
+        h = h + _mlp(spec, layer, x, use_pallas=use_pallas, act_quant=act_quant,
+                     tp_axis=tp_axis)
 
     return h, cache
 

@@ -313,6 +313,29 @@ def make_tp_forward(
 
         return run(params, h)
 
+    def prefill_window_fn(params, _spec, tokens_w, offsets, win_lens, cache,
+                          block_tables):
+        """Prefix-cache / chunked-prefill window pass under TP: each shard
+        processes its local heads over the window; the returned hidden
+        states are replicated (every sublayer ends in a psum)."""
+        pspecs = tp_param_specs(params, spec, axis)
+        cspecs = tp_cache_specs(cache, axis)
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(pspecs, P(), P(), P(), cspecs, P()),
+            out_specs=(P(), cspecs),
+        )
+        def run(params_l, tokens_w, offsets, win_lens, cache_l, tables):
+            return qwen.prefill_window(
+                params_l, lspec, tokens_w, offsets, win_lens, cache_l, tables,
+                use_pallas=use_pallas, act_quant=act_quant, tp_axis=axis,
+            )
+
+        return run(params, tokens_w, offsets, win_lens, cache, block_tables)
+
     return SimpleNamespace(
-        prefill=prefill_fn, decode_step=decode_fn, logits_at=logits_at_fn, tp=tp
+        prefill=prefill_fn, decode_step=decode_fn, logits_at=logits_at_fn,
+        prefill_window=prefill_window_fn, tp=tp
     )

@@ -66,7 +66,11 @@ def _fit_blocks(
 
     def est(bn_, bk_):
         x = M_pad * bk_ * x_itemsize * 2 * (2 if two_x_slices else 1)
-        w = bk_ * bn_ * 2            # int8 weights, double-buffered
+        # int8: packed block double-buffered. int4: the in-kernel unpack
+        # materialises lo/hi intermediates on top of the packed stream —
+        # measured envelope: (1024,1024) int4 blocks compile, (2048,2048)
+        # overflow VMEM; a 6x multiplier reproduces that boundary.
+        w = bk_ * bn_ * (6 if two_x_slices else 2)
         acc = M_pad * bn_ * 4
         out = M_pad * bn_ * x_itemsize * 2
         return x + w + acc + out + bn_ * 8

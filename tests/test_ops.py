@@ -319,6 +319,59 @@ class TestSpeculativeAccept:
         emitted = jnp.where(n_acc >= 1, draft[:, 0], nxt)
         return np.asarray(emitted), np.asarray(n_acc)
 
+    def test_two_hop_chain_preserves_final_marginal(self):
+        """3-tier escalation chain (VERDICT r1 #7): tier0 samples a draft,
+        tier1 verifies it stochastically and hands its OWN adjusted-dist
+        top-K support to tier2, which verifies in turn. The rejection-rule
+        theorem composes: tier2's emissions must be marginally ~ tier2's
+        distribution — exactly what engine.verify_continue's return_topk
+        carry implements (q for hop 2 = top-K of hop 1's logp_t)."""
+        from adaptive_sd_tpu.ops.sampling import (
+            sample_with_topk,
+            speculative_accept,
+        )
+
+        V, B = 16, 60000
+        rng = np.random.default_rng(7)
+        p0 = jnp.asarray(rng.normal(0, 1.5, V), jnp.float32)   # tier-0 draft
+        p1 = jnp.asarray(rng.normal(0, 1.5, V), jnp.float32)   # tier-1 mid
+        p2 = jnp.asarray(rng.normal(0, 1.5, V), jnp.float32)   # tier-2 final
+        k0, k1, k2 = jax.random.split(jax.random.key(5), 3)
+
+        # hop 0: draft from tier 0 with full support
+        res0, q0_ids, q0_probs = sample_with_topk(
+            jnp.broadcast_to(p0, (B, V)), k0, k=V, temperature=1.0
+        )
+        # hop 1: tier 1 verifies -> emitted1 ~ p1 (theorem)
+        logp1 = jnp.broadcast_to(jax.nn.log_softmax(p1), (B, 2, V))
+        n1, nxt1, _ = speculative_accept(
+            k1, res0.token[:, None], res0.logprob[:, None],
+            q0_ids[:, None, :], q0_probs[:, None, :], logp1,
+            jnp.ones((B,), jnp.int32),
+        )
+        emitted1 = jnp.where(n1 >= 1, res0.token, nxt1)
+        # the support verify_continue carries for emitted1: tier 1's own
+        # adjusted distribution at that slot (identical across slots here)
+        lp1_row = jax.nn.log_softmax(p1)
+        e1_lp = lp1_row[emitted1]
+        q1_ids = jnp.broadcast_to(jnp.arange(V, dtype=jnp.int32), (B, V))
+        q1_probs = jnp.broadcast_to(jnp.exp(lp1_row), (B, V))
+        # hop 2: tier 2 verifies tier 1's emission
+        logp2 = jnp.broadcast_to(jax.nn.log_softmax(p2), (B, 2, V))
+        n2, nxt2, _ = speculative_accept(
+            k2, emitted1[:, None], e1_lp[:, None],
+            q1_ids[:, None, :], q1_probs[:, None, :], logp2,
+            jnp.ones((B,), jnp.int32),
+        )
+        emitted2 = np.asarray(jnp.where(n2 >= 1, emitted1, nxt2))
+
+        target = np.asarray(jax.nn.softmax(p2))
+        hist = np.bincount(emitted2, minlength=V) / B
+        tv = 0.5 * np.abs(hist - target).sum()
+        assert tv < 0.02, f"chained total variation {tv:.4f} vs final tier"
+        # both hops must actually accept sometimes (the chain is real)
+        assert float(jnp.mean(n1)) > 0.05 and float(jnp.mean(n2)) > 0.05
+
     def test_preserves_target_marginal(self):
         V, B = 16, 60000
         rng = np.random.default_rng(3)
