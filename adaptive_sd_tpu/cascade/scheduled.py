@@ -16,15 +16,15 @@ instead runs ONE ContinuousBatchingScheduler per tier (engine/scheduler.py):
   verify pass (engine.verify_admit_sample_batch) accepts the longest draft
   prefix this tier agrees with, then the lane decodes only the remainder —
   speculative escalation and continuous batching compose instead of
-  excluding each other. Greedy acceptance: exact at temperature 0,
-  conservative above (lane sampling is per-lane-temperature; ``top_p`` is
-  ignored in scheduled mode).
+  excluding each other. Acceptance: greedy argmax at temperature 0; the
+  exact stochastic rule above (lanes carry per-request temperature AND
+  top_p — the adjusted distribution is per-lane nucleus-filtered).
 
 Role parity: reference ``AdaptiveSpeculativePipeline`` behind a server
 (src/serving/pipeline.py:90-423 + vLLM's continuous batching); here both
-halves are one system. Known deviation: per-(request, stage) response caching
-(``enable_caching``) is not applied in scheduled mode — results stream out of
-lanes, not from a response store.
+halves are one system, including per-(request, stage) response caching
+(``enable_caching``): a tier hit short-circuits that tier's lanes entirely,
+mirroring the fused plane's cache check (reference pipeline.py:190-194).
 """
 
 from __future__ import annotations
@@ -158,12 +158,28 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
         return job
 
     def _submit_tier(self, job: _CascadeJob, tier: int, draft, draft_q=None) -> None:
+        # per-(request, stage) response cache (fused-plane parity,
+        # reference pipeline.py:190-194): a hit resolves this tier without
+        # touching its lanes
+        if self.config.enable_caching:
+            cached = self.cache.get(job.request.request_id, tier)
+            if (
+                cached is not None
+                and isinstance(cached, tuple)
+                and cached[0] == job.request.prompt
+            ):
+                with self._lock:
+                    self._stats["cache_hits"] += 1
+                self._handle_tier_output(job, tier, cached[1], sreq=None,
+                                         from_cache=True)
+                return
         stage = self.stages[tier]
         prompt_toks = stage.tokenize(job.request.prompt)
         self.schedulers[tier].submit(
             prompt_toks,
             max_new=job.request.max_tokens,
             temperature=job.request.temperature,
+            top_p=job.request.top_p,
             request_id=f"{job.request.request_id}.t{tier}",
             draft=draft,
             draft_q=draft_q,
@@ -204,7 +220,39 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
                 finish_reason=(
                     f"spec_accepted={sreq.n_accepted}" if sreq.draft else "stop"
                 ),
+                # per-token support (sampled lanes): the draft_q for the next
+                # tier's exact stochastic verify — kept on the output so the
+                # response cache preserves it
+                draft_topk_ids=(
+                    np.stack(sreq.out_topk_ids)
+                    if len(sreq.out_topk_ids) == n_out and n_out else None
+                ),
+                draft_topk_probs=(
+                    np.stack(sreq.out_topk_probs)
+                    if len(sreq.out_topk_probs) == n_out and n_out else None
+                ),
             )
+            if self.config.enable_caching:
+                size = len(output.text.encode()) + len(
+                    job.request.prompt.encode()
+                ) + (output.logprobs.nbytes if output.logprobs is not None else 0)
+                self.cache.put(
+                    job.request.request_id, tier, (job.request.prompt, output), size
+                )
+            self._handle_tier_output(job, tier, output, sreq=sreq)
+        except Exception as exc:  # noqa: BLE001 - jobs must resolve, not hang
+            self._finalize(job, error=f"{type(exc).__name__}: {exc}")
+
+    def _handle_tier_output(
+        self, job: _CascadeJob, tier: int, output, sreq, from_cache: bool = False
+    ) -> None:
+        """Shared decision path for a finished tier's output (fresh from the
+        lanes or replayed from the response cache): predictor -> Bayesian
+        adjustment -> DP -> stop or escalate."""
+        try:
+            stage = self.stages[tier]
+            is_last = tier == self.n_stages - 1
+            dt = float(output.generation_time_s or 0.0)
 
             t_dec = time.perf_counter()
             if is_last:
@@ -253,30 +301,28 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
                     adjusted_probs=list(job.probs),
                     lambda_value=job.lam,
                     decision_time_s=dec_time,
-                    rationale=f"DP k*={k_star} at stage {tier} (scheduled)",
+                    rationale=(
+                        f"DP k*={k_star} at stage {tier} (scheduled"
+                        f"{', cached' if from_cache else ''})"
+                    ),
                 )
                 self._finalize(job)
             else:
                 draft = (
-                    sreq.out_tokens
-                    if p_raw >= self.config.min_draft_quality_for_verify
+                    output.token_ids.tolist()
+                    if output.token_ids is not None
+                    and len(output.token_ids)
+                    and p_raw >= self.config.min_draft_quality_for_verify
                     else None
                 )
                 # Sampled lanes carry their per-token support: the next
                 # tier's verify admission then uses the exact stochastic
                 # rejection rule (emitted tokens stay distributed as that
-                # tier's own sampling).
+                # tier's own sampling). Cached outputs carry it too
+                # (ModelOutput.draft_q).
                 draft_q = None
-                if (
-                    draft
-                    and job.request.temperature > 0
-                    and len(sreq.out_topk_ids) == len(sreq.out_tokens)
-                ):
-                    draft_q = (
-                        np.asarray(sreq.out_logprobs, np.float32),
-                        np.stack(sreq.out_topk_ids),
-                        np.stack(sreq.out_topk_probs),
-                    )
+                if draft and job.request.temperature > 0:
+                    draft_q = output.draft_q
                 self._submit_tier(job, tier + 1, draft=draft, draft_q=draft_q)
         except Exception as exc:  # noqa: BLE001 - jobs must resolve, not hang
             self._finalize(job, error=f"{type(exc).__name__}: {exc}")
@@ -361,6 +407,7 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
             stage.tokenize(request.prompt),
             max_new=request.max_tokens,
             temperature=request.temperature,
+            top_p=request.top_p,
             request_id=f"{request.request_id}.stream",
         )
         emitted = ""

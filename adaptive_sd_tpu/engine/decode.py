@@ -473,7 +473,7 @@ def _make_verify_admit_fn(spec: ModelSpec, fwd):
     from ..ops.sampling import sample_rows
 
     def fn(params, tokens, prompt_lens, total_lens, block_tables, cache,
-           temps, key, draft_q, offsets, *, max_draft, return_topk=0,
+           temps, top_ps, key, draft_q, offsets, *, max_draft, return_topk=0,
            cached=False):
         B, S = tokens.shape
         if cached:
@@ -512,9 +512,12 @@ def _make_verify_admit_fn(spec: ModelSpec, fwd):
         # tokens (skewing predictor features), and the carried q support
         # would describe the wrong distribution for a later tier's verify
         # (3+ tier chains through a greedy hop would lose exactness).
+        from ..ops.sampling import row_adjusted_logits
+
         stoch = temps > 0.0
-        safe_t = jnp.where(stoch, temps, 1.0)
-        logp_d = jax.nn.log_softmax(logits_d / safe_t[:, None, None], axis=-1)
+        logp_d = jax.nn.log_softmax(
+            row_adjusted_logits(logits_d, temps, top_ps), axis=-1
+        )
         # greedy acceptance: longest prefix matching this model's argmax
         # (argmax is invariant under the positive temperature scaling)
         pred = jnp.argmax(logits_d, axis=-1).astype(jnp.int32)
@@ -530,8 +533,7 @@ def _make_verify_admit_fn(spec: ModelSpec, fwd):
             from ..ops.sampling import speculative_accept
 
             dlp_q, q_ids, q_probs = draft_q
-            # lane sampling is temperature-only; top_p is not applied in
-            # scheduled mode
+            # the per-lane temperature/top_p adjusted target distribution
             logp_t = logp_d
             key, ka = jax.random.split(key)
             n_acc_s, tok_s, lp_s = speculative_accept(
@@ -540,7 +542,7 @@ def _make_verify_admit_fn(spec: ModelSpec, fwd):
             n_acc = jnp.where(stoch, n_acc_s, n_acc)
 
         next_logits = jnp.take_along_axis(logits_d, n_acc[:, None, None], axis=1)[:, 0]
-        res = sample_rows(next_logits, key, temps)
+        res = sample_rows(next_logits, key, temps, top_ps=top_ps)
         tok, lp = res.token, res.logprob
         if draft_q:
             # stochastic rows emit the residual/bonus sample from the exact
@@ -575,8 +577,8 @@ def _make_decode_scan_fn(spec: ModelSpec, fwd):
 
     from ..ops.sampling import sample_rows, sample_rows_with_topk
 
-    def fn(params, tokens, positions, cache, block_tables, temps, key,
-           remaining, *, n_steps, eos_id, return_topk=0):
+    def fn(params, tokens, positions, cache, block_tables, temps, top_ps,
+           key, remaining, *, n_steps, eos_id, return_topk=0):
         B = tokens.shape[0]
         out_t = jnp.full((B, n_steps), PAD_ID, jnp.int32)
         out_l = jnp.zeros((B, n_steps), jnp.float32)
@@ -595,13 +597,14 @@ def _make_decode_scan_fn(spec: ModelSpec, fwd):
             )
             key, kk = jax.random.split(key)
             if return_topk:
-                res, qi, qp = sample_rows_with_topk(logits, kk, temps, return_topk)
+                res, qi, qp = sample_rows_with_topk(logits, kk, temps, return_topk,
+                                                    top_ps=top_ps)
                 qb = (
                     qb[0].at[:, i].set(jnp.where(active[:, None], qi, 0)),
                     qb[1].at[:, i].set(jnp.where(active[:, None], qp, 0.0)),
                 )
             else:
-                res = sample_rows(logits, kk, temps)
+                res = sample_rows(logits, kk, temps, top_ps=top_ps)
             out_t = out_t.at[:, i].set(jnp.where(active, res.token, PAD_ID))
             out_l = out_l.at[:, i].set(jnp.where(active, res.logprob, 0.0))
             emitted = emitted + active.astype(jnp.int32)
@@ -747,25 +750,27 @@ class TierEngine:
         from ..ops.sampling import sample_rows, sample_rows_with_topk
 
         def _prefill_sample(params, tokens, seq_lens, block_tables, cache, temps,
-                            key, *, return_topk=0):
+                            top_ps, key, *, return_topk=0):
             logits, cache = fwd.prefill(params, spec, tokens, seq_lens, cache, block_tables)
             if return_topk:
-                res, qi, qp = sample_rows_with_topk(logits, key, temps, return_topk)
+                res, qi, qp = sample_rows_with_topk(logits, key, temps, return_topk,
+                                                    top_ps=top_ps)
                 return res.token, res.logprob, (qi, qp), cache
-            res = sample_rows(logits, key, temps)
+            res = sample_rows(logits, key, temps, top_ps=top_ps)
             return res.token, res.logprob, (), cache
 
         def _decode_sample(params, tokens, positions, cache, block_tables, temps,
-                           key, *, return_topk=0):
+                           top_ps, key, *, return_topk=0):
             logits, cache = fwd.decode_step(params, spec, tokens, positions, cache, block_tables)
             if return_topk:
-                res, qi, qp = sample_rows_with_topk(logits, key, temps, return_topk)
+                res, qi, qp = sample_rows_with_topk(logits, key, temps, return_topk,
+                                                    top_ps=top_ps)
                 return res.token, res.logprob, (qi, qp), cache
-            res = sample_rows(logits, key, temps)
+            res = sample_rows(logits, key, temps, top_ps=top_ps)
             return res.token, res.logprob, (), cache
 
         def _prefill_window_sample(params, tokens_w, offsets, win_lens,
-                                   block_tables, cache, temps, key, *,
+                                   block_tables, cache, temps, top_ps, key, *,
                                    return_topk=0):
             # prefix-cache admission: only the uncached suffix window runs
             # through the model; cached prompt pages are attended, not
@@ -778,9 +783,10 @@ class TierEngine:
             )
             logits = fwd.logits_at(params, spec, last)[:, 0]
             if return_topk:
-                res, qi, qp = sample_rows_with_topk(logits, key, temps, return_topk)
+                res, qi, qp = sample_rows_with_topk(logits, key, temps, return_topk,
+                                                    top_ps=top_ps)
                 return res.token, res.logprob, (qi, qp), cache
-            res = sample_rows(logits, key, temps)
+            res = sample_rows(logits, key, temps, top_ps=top_ps)
             return res.token, res.logprob, (), cache
 
         self._prefill_sample_jit = jax.jit(
@@ -845,33 +851,39 @@ class TierEngine:
         return logits
 
     def prefill_sample_batch(self, tokens, seq_lens, block_tables, temps, key,
-                             *, return_topk=0):
+                             *, return_topk=0, top_ps=None):
         """Fused prefill + per-row sample: returns host (tokens [B], logprobs
         [B], q_out) in one dispatch (scheduler admission path). q_out is ()
         or (topk_ids [B, K], topk_probs [B, K]) when ``return_topk`` — the
-        per-lane draft support a later tier's stochastic verifier needs."""
+        per-lane draft support a later tier's stochastic verifier needs.
+        ``top_ps`` [B]: per-row nucleus parameter (None = 1.0)."""
+        if top_ps is None:
+            top_ps = np.ones(len(temps), np.float32)
         tok, lp, q_out, self.cache = self._prefill_sample_jit(
             self.params, jnp.asarray(tokens), jnp.asarray(seq_lens),
             jnp.asarray(block_tables), self.cache, jnp.asarray(temps, jnp.float32),
-            key, return_topk=return_topk,
+            jnp.asarray(top_ps, jnp.float32), key, return_topk=return_topk,
         )
         return jax.device_get((tok, lp, q_out))
 
     def decode_sample_batch(self, tokens, positions, block_tables, temps, key,
-                            *, return_topk=0):
+                            *, return_topk=0, top_ps=None):
         """Fused decode step + per-row sample (scheduler hot loop): one
         dispatch, one [B]-sized fetch (plus [B, K] support rows when
         ``return_topk``)."""
+        if top_ps is None:
+            top_ps = np.ones(len(temps), np.float32)
         tok, lp, q_out, self.cache = self._decode_sample_jit(
             self.params, jnp.asarray(tokens), jnp.asarray(positions), self.cache,
-            jnp.asarray(block_tables), jnp.asarray(temps, jnp.float32), key,
+            jnp.asarray(block_tables), jnp.asarray(temps, jnp.float32),
+            jnp.asarray(top_ps, jnp.float32), key,
             return_topk=return_topk,
         )
         return jax.device_get((tok, lp, q_out))
 
     def verify_admit_sample_batch(
         self, tokens, prompt_lens, total_lens, block_tables, temps, key, *,
-        max_draft, draft_q=(), return_topk=0, offsets=None,
+        max_draft, draft_q=(), return_topk=0, offsets=None, top_ps=None,
     ):
         """Scheduler escalation admission: verify [prompt + draft] rows in one
         parallel pass, emit each row's next token at its lane temperature.
@@ -889,26 +901,32 @@ class TierEngine:
         offs = jnp.asarray(
             offsets if cached else np.zeros(len(temps), np.int32)
         )
+        if top_ps is None:
+            top_ps = np.ones(len(temps), np.float32)
         n_acc, tok, lp, draft_lp, q_out, self.cache = self._verify_admit_jit(
             self.params, jnp.asarray(tokens), jnp.asarray(prompt_lens),
             jnp.asarray(total_lens), jnp.asarray(block_tables), self.cache,
-            jnp.asarray(temps, jnp.float32), key, dq, offs,
+            jnp.asarray(temps, jnp.float32), jnp.asarray(top_ps, jnp.float32),
+            key, dq, offs,
             max_draft=max_draft, return_topk=return_topk, cached=cached,
         )
         return jax.device_get((n_acc, tok, lp, draft_lp, q_out))
 
     def decode_sample_scan(
         self, tokens, positions, block_tables, temps, key, remaining, *,
-        n_steps, return_topk=0,
+        n_steps, return_topk=0, top_ps=None,
     ):
         """``n_steps`` fused decode+sample iterations in one dispatch
         (scheduler batch hot loop). ``remaining`` [B]: per-lane emission
         budgets; lanes stop emitting at budget/eos but cost nothing extra.
         Returns host (out_tokens [B, n_steps], out_logprobs [B, n_steps],
         emitted [B], q_out)."""
+        if top_ps is None:
+            top_ps = np.ones(len(temps), np.float32)
         out_t, out_l, emitted, q_out, self.cache = self._decode_scan_jit(
             self.params, jnp.asarray(tokens), jnp.asarray(positions), self.cache,
-            jnp.asarray(block_tables), jnp.asarray(temps, jnp.float32), key,
+            jnp.asarray(block_tables), jnp.asarray(temps, jnp.float32),
+            jnp.asarray(top_ps, jnp.float32), key,
             jnp.asarray(remaining, jnp.int32),
             n_steps=n_steps, eos_id=self.eos_id, return_topk=return_topk,
         )
@@ -916,15 +934,18 @@ class TierEngine:
 
     def prefill_window_sample_batch(
         self, tokens_w, offsets, win_lens, block_tables, temps, key, *,
-        return_topk=0,
+        return_topk=0, top_ps=None,
     ):
         """Prefix-cache admission: prefill only each row's uncached suffix
         window (cached prompt pages are attended through the stitched block
         table) + per-row sample, one dispatch."""
+        if top_ps is None:
+            top_ps = np.ones(len(temps), np.float32)
         tok, lp, q_out, self.cache = self._prefill_window_sample_jit(
             self.params, jnp.asarray(tokens_w), jnp.asarray(offsets),
             jnp.asarray(win_lens), jnp.asarray(block_tables), self.cache,
-            jnp.asarray(temps, jnp.float32), key, return_topk=return_topk,
+            jnp.asarray(temps, jnp.float32), jnp.asarray(top_ps, jnp.float32),
+            key, return_topk=return_topk,
         )
         return jax.device_get((tok, lp, q_out))
 

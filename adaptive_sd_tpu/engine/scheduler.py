@@ -43,6 +43,7 @@ class SchedRequest:
     prompt: list[int]
     max_new: int = 128
     temperature: float = 0.0
+    top_p: float = 1.0
     # Speculative escalation into this tier's lanes: when set, admission runs
     # a verify pass over [prompt + draft] (engine.verify_admit_sample_batch)
     # instead of a plain prefill — the accepted prefix lands in out_tokens in
@@ -140,6 +141,7 @@ class ContinuousBatchingScheduler:
     # -------------------------------------------------------------- frontend
     def submit(
         self, prompt: Sequence[int], *, max_new: int = 128, temperature: float = 0.0,
+        top_p: float = 1.0,
         request_id: Optional[str] = None, draft: Optional[Sequence[int]] = None,
         draft_q: Optional[tuple] = None,
         on_done: Optional[Callable[[SchedRequest], None]] = None,
@@ -166,6 +168,7 @@ class ContinuousBatchingScheduler:
             prompt=list(prompt),
             max_new=max_new,
             temperature=temperature,
+            top_p=top_p,
             draft=draft,
             draft_q=draft_q,
             on_done=on_done,
@@ -294,6 +297,8 @@ class ContinuousBatchingScheduler:
                     tables[row] = self._tables[lane]
                 temps = np.zeros((nb,), np.float32)
                 temps[:n] = [r.temperature for _, r in plain]
+                tps = np.ones((nb,), np.float32)
+                tps[:n] = [r.top_p for _, r in plain]
                 topk = self.spec_topk if any(r.temperature > 0 for _, r in plain) else 0
                 seqs = [self._seq(r) for _, r in plain]
                 if prefix is not None:
@@ -313,7 +318,7 @@ class ContinuousBatchingScheduler:
                         win_lens[row] = len(sx)
                     toks, lps, q_out = self.engine.prefill_window_sample_batch(
                         tokens, offsets, win_lens, tables, temps, key,
-                        return_topk=topk,
+                        return_topk=topk, top_ps=tps,
                     )
                 else:
                     S = _bucket_len(max(len(s) for s in seqs), self.page)
@@ -324,6 +329,7 @@ class ContinuousBatchingScheduler:
                         seq_lens[row] = len(seq)
                     toks, lps, q_out = self.engine.prefill_sample_batch(
                         tokens, seq_lens, tables, temps, key, return_topk=topk,
+                        top_ps=tps,
                     )
                 for row, (seq, (lane, req)) in enumerate(zip(seqs, plain)):
                     req.next_token = int(toks[row])
@@ -499,6 +505,8 @@ class ContinuousBatchingScheduler:
             tables[row] = self._tables[lane]
         temps = np.zeros((nb,), np.float32)
         temps[:n] = [r.temperature for _, r in drafted]
+        tps = np.ones((nb,), np.float32)
+        tps[:n] = [r.top_p for _, r in drafted]
         dq = ()
         if kq is not None:
             dlp = np.zeros((nb, Dw), np.float32)
@@ -517,7 +525,7 @@ class ContinuousBatchingScheduler:
         n_accs, toks, lps, draft_lps, q_out = self.engine.verify_admit_sample_batch(
             tokens, p_lens, t_lens, tables, temps, key,
             max_draft=Dw, draft_q=dq, return_topk=topk,
-            offsets=off_arr if cached else None,
+            offsets=off_arr if cached else None, top_ps=tps,
         )
         eos = self.engine.eos_id
         for row, (lane, req) in enumerate(drafted):
@@ -661,16 +669,18 @@ class ContinuousBatchingScheduler:
         tokens = np.full((self.max_batch,), PAD_ID, np.int32)
         positions = np.zeros((self.max_batch,), np.int32)
         temps = np.zeros((self.max_batch,), np.float32)
+        tps = np.ones((self.max_batch,), np.float32)
         for lane, req, _ in still:
             tokens[lane] = req.next_token
             positions[lane] = req.position
             temps[lane] = req.temperature
+            tps[lane] = req.top_p
 
         self.steps += 1
         topk = self.spec_topk if any(r.temperature > 0 for _, r, _ in still) else 0
         toks, lps, q_out = self.engine.decode_sample_batch(
             tokens, positions, self._tables, temps, jax.random.key(self.steps),
-            return_topk=topk,
+            return_topk=topk, top_ps=tps,
         )
         for lane, req, _ in still:
             req.next_token = int(toks[lane])
@@ -711,18 +721,20 @@ class ContinuousBatchingScheduler:
         tokens = np.full((self.max_batch,), PAD_ID, np.int32)
         positions = np.zeros((self.max_batch,), np.int32)
         temps = np.zeros((self.max_batch,), np.float32)
+        tps = np.ones((self.max_batch,), np.float32)
         remaining = np.zeros((self.max_batch,), np.int32)
         for lane, req, _ in still:
             tokens[lane] = req.next_token
             positions[lane] = req.position
             temps[lane] = req.temperature
+            tps[lane] = req.top_p
             remaining[lane] = max(req.max_new - len(req.out_tokens), 0)
 
         self.steps += 1
         topk = self.spec_topk if any(r.temperature > 0 for _, r, _ in still) else 0
         out_t, out_l, emitted, q_out = self.engine.decode_sample_scan(
             tokens, positions, self._tables, temps, jax.random.key(self.steps),
-            remaining, n_steps=n_steps, return_topk=topk,
+            remaining, n_steps=n_steps, return_topk=topk, top_ps=tps,
         )
         for lane, req, _ in still:
             k = int(emitted[lane])

@@ -131,6 +131,8 @@ def init_params_quantized(
         if bits == 16:
             return w
         if bits == 4:
+            if w.shape[0] % 256 and w.shape[0] > 256:
+                return quantize_int8(w)  # see quantize_model._int4
             gs = 128 if w.shape[0] % 128 == 0 else None
             return quantize_int4(w, group_size=gs)
         return quantize_int8(w)
@@ -215,6 +217,12 @@ def quantize_model(
     import functools as _ft
 
     def _int4(w):
+        if w.shape[0] % 256 and w.shape[0] > 256:
+            # No lane-aligned Pallas blocking exists for the packed rows
+            # (K/2 % 128 != 0 — in the Qwen family only 72B down_proj,
+            # K = 29568): keep this projection INT8 rather than shipping an
+            # int4 tensor that silently takes the slow XLA fallback.
+            return quantize_int8(w)
         gs = group_size if (group_size and w.shape[0] % group_size == 0) else None
         return quantize_int4(w, group_size=gs)
 

@@ -194,11 +194,14 @@ def quantized_matmul(
             x, q, scale, interpret=interpret, out_dtype=out_dtype
         )
 
+    if N % 128 or Kq % 128:
+        # Irregular dims: no lane-aligned blocking exists (e.g. int4-packed
+        # Qwen-72B down_proj, Kq = 29568/2 = 128*115.5) — picking bk == Kq
+        # would hand the compiler a whole-K block whose unpack intermediates
+        # blow VMEM. Fall back to the XLA reference path.
+        return quantized_matmul_ref(x, q, scale, bits=bits, out_dtype=out_dtype)
     bn = _pick_block(N, block_n)
     bk = _pick_block(Kq, block_k)
-    if N % bn or Kq % bk:
-        # Irregular dims: fall back to the XLA reference path.
-        return quantized_matmul_ref(x, q, scale, bits=bits, out_dtype=out_dtype)
 
     sub = _sublane(x.dtype)
     M_pad = ((M + sub - 1) // sub) * sub

@@ -159,19 +159,47 @@ def speculative_accept(
     return n_acc, next_tok, next_lp
 
 
-def sample_rows(
-    logits: jax.Array, key: jax.Array, temperatures: jax.Array
-) -> SampleResult:
-    """Per-row temperature sampling in one fused op: rows with
-    temperature <= 0 take the argmax (greedy). Built for the continuous-
-    batching scheduler, whose lanes carry per-request temperatures — one
-    device dispatch samples every lane (vs. one dispatch per lane), which
-    matters through the ~0.7 ms TPU tunnel. Greedy rows report log-softmax
-    of the raw logits (same convention as greedy_sample)."""
+def row_adjusted_logits(
+    logits: jax.Array, temperatures: jax.Array, top_ps=None
+) -> jax.Array:
+    """Per-ROW temperature + nucleus adjustment (vectorised analog of
+    :func:`adjusted_logits` for the continuous-batching lanes, whose
+    requests carry individual temperature/top_p). ``logits`` may be [B, V]
+    or [B, S, V]; ``temperatures``/``top_ps`` are [B]. Greedy rows
+    (temperature <= 0) pass through at T=1 unfiltered — their argmax is
+    taken separately and the adjustment is unused downstream."""
     logits = logits.astype(jnp.float32)
     greedy = temperatures <= 0.0
     safe_t = jnp.where(greedy, 1.0, temperatures)
-    scaled = logits / safe_t[:, None]
+    t_shape = (-1,) + (1,) * (logits.ndim - 1)
+    scaled = logits / safe_t.reshape(t_shape)
+    if top_ps is None:
+        return scaled
+    sorted_logits = jnp.flip(jnp.sort(scaled, axis=-1), axis=-1)
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    p_row = top_ps.reshape(t_shape)
+    keep = cum - probs < p_row  # always keeps each row's top token
+    cutoff = jnp.min(
+        jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True
+    )
+    apply = jnp.logical_and(p_row < 1.0, ~greedy.reshape(t_shape))
+    return jnp.where(
+        jnp.logical_and(apply, scaled < cutoff), -jnp.inf, scaled
+    )
+
+
+def sample_rows(
+    logits: jax.Array, key: jax.Array, temperatures: jax.Array, top_ps=None
+) -> SampleResult:
+    """Per-row temperature (+ nucleus) sampling in one fused op: rows with
+    temperature <= 0 take the argmax (greedy). Built for the continuous-
+    batching scheduler, whose lanes carry per-request temperatures/top_p —
+    one device dispatch samples every lane (vs. one dispatch per lane),
+    which matters through the ~0.7 ms TPU tunnel. Greedy rows report
+    log-softmax of the raw logits (same convention as greedy_sample)."""
+    greedy = temperatures <= 0.0
+    scaled = row_adjusted_logits(logits, temperatures, top_ps)
     cat = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
     arg = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     token = jnp.where(greedy, arg, cat)
@@ -182,19 +210,20 @@ def sample_rows(
 
 
 def sample_rows_with_topk(
-    logits: jax.Array, key: jax.Array, temperatures: jax.Array, k: int
+    logits: jax.Array, key: jax.Array, temperatures: jax.Array, k: int,
+    top_ps=None,
 ) -> tuple[SampleResult, jax.Array, jax.Array]:
     """``sample_rows`` that also returns the top-k of each row's adjusted
     distribution: (result, topk_ids [B, k] int32, topk_probs [B, k] f32) —
     the per-lane draft support the continuous-batching scheduler carries so
     a later tier can run the exact stochastic verify on lane-decoded drafts.
+    With nucleus sampling the adjusted distribution's support IS the
+    nucleus, so the carried rows are exact whenever the nucleus fits in k.
     Greedy rows (temperature <= 0) take the argmax; their support rows are
     of the unscaled softmax and are unused downstream (greedy chains verify
     by argmax match, no support needed)."""
-    logits = logits.astype(jnp.float32)
     greedy = temperatures <= 0.0
-    safe_t = jnp.where(greedy, 1.0, temperatures)
-    scaled = logits / safe_t[:, None]
+    scaled = row_adjusted_logits(logits, temperatures, top_ps)
     cat = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
     arg = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     token = jnp.where(greedy, arg, cat)
