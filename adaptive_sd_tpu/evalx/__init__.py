@@ -26,6 +26,14 @@ from .stats import (
     StatisticalResult,
     generate_publication_table,
 )
-from .sweep import EvalSample, LambdaSweepHarness, SweepPoint, synthetic_dataset
+from .datasets import evaluate_answers, load_frozen, load_samples, score_item
+from .sweep import (
+    EvalSample,
+    LambdaSweepHarness,
+    SweepPoint,
+    load_dataset,
+    synthetic_dataset,
+)
+from .workload import make_workload, realize_goodness, tier_capabilities
 
 __all__ = [name for name in dir() if not name.startswith("_")]

@@ -75,6 +75,24 @@ def synthetic_dataset(name: str, n: int = 50, seed: int = 0) -> list[EvalSample]
     return samples
 
 
+def load_dataset(name: str, n: int = 50, seed: int = 0):
+    """(samples, frozen_items): frozen vendored suites (evalx/datasets.py)
+    when ``name`` matches one, else the synthetic generators. frozen_items
+    is None for synthetic sets; when present, callers should score answers
+    OBJECTIVELY via datasets.score_item instead of similarity metrics."""
+    from .datasets import FROZEN, load_frozen
+
+    if name in FROZEN:
+        items = load_frozen(name)[:n]
+        samples = [
+            EvalSample(prompt=it["prompt"], reference=str(it["answer"]),
+                       task=it["task"])
+            for it in items
+        ]
+        return samples, items
+    return synthetic_dataset(name, n, seed), None
+
+
 @dataclass
 class SweepPoint:
     lam: float
@@ -105,13 +123,15 @@ class LambdaSweepHarness:
         n_per_dataset: int = 30,
         max_tokens: int = 64,
     ) -> list[SweepPoint]:
+        from .datasets import score_item
+
         for dataset in datasets:
-            samples = synthetic_dataset(dataset, n_per_dataset)
+            samples, frozen_items = load_dataset(dataset, n_per_dataset)
             for lam in lambdas:
                 self.pipeline.update_lambda(float(lam))
                 self.pipeline.reset_stats()
                 lats, costs, quals, stages = [], [], [], []
-                for s in samples:
+                for si, s in enumerate(samples):
                     res = self.pipeline.process_request(
                         RequestContext(prompt=s.prompt, max_tokens=max_tokens)
                     )
@@ -120,8 +140,12 @@ class LambdaSweepHarness:
                     lats.append(res.total_latency_s)
                     costs.append(res.total_cost)
                     stages.append(res.final_stage)
-                    q = self.evaluator.evaluate(res.text, s.reference, s.task)
-                    quals.append(q.aggregate)
+                    if frozen_items is not None:
+                        # objective correctness (exact answer / unit tests)
+                        quals.append(score_item(frozen_items[si], res.text))
+                    else:
+                        q = self.evaluator.evaluate(res.text, s.reference, s.task)
+                        quals.append(q.aggregate)
                 lats_a = np.asarray(lats) if lats else np.zeros(1)
                 n_stages = self.pipeline.n_stages
                 dist = [float(np.mean([st == i for st in stages])) if stages else 0.0

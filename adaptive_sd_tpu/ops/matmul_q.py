@@ -127,15 +127,18 @@ def _matmul_int4_kernel(xlo_ref, xhi_ref, w_ref, s_ref, o_ref, acc_ref):
         o_ref[:] = (acc_ref[:] * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-def _matmul_int4g_kernel(xlo_ref, xhi_ref, w_ref, s_ref, o_ref, acc_ref):
-    """Group-wise INT4: block_k == group_size, so each K step's lo/hi halves
-    each align with exactly one scale group — the per-group scale multiplies
-    the partial dot before accumulation (f32).
+def _matmul_int4g_kernel(xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref, o_ref,
+                         acc_ref, *, gs: int, m: int):
+    """Group-wise INT4 with LARGE K blocks: each grid step streams a
+    (m*gs, bn) packed block (big DMAs — a gs-pinned block_k of 128 pays
+    per-grid-step overhead that measured ~30% slower than weight-only int8)
+    and accumulates m per-group sub-dots per half, each scaled by its own
+    group scale in f32 AFTER the dot (exact — no bf16 dequant roundtrip).
 
-    The whole scale table rides in VMEM as one (n_groups, bn) block (a
-    (1, bn) row block would violate the TPU sublane constraint: the
-    second-minor block dim must be a multiple of 8 or the full array dim);
-    rows k (lo half) and k + nk (hi half) are dynamically sliced per step."""
+    Scales arrive as grid-mapped (1, mp, bn) blocks (mp = m padded to the
+    sublane multiple; the wrapper reshapes the [n_groups, N] table to
+    [nkb, mp, N] per half) — static in-kernel row indexing, no dynamic
+    slices (whose sublane-alignment rules reject odd m)."""
     k = pl.program_id(1)
     nk = pl.num_programs(1)
 
@@ -143,14 +146,18 @@ def _matmul_int4g_kernel(xlo_ref, xhi_ref, w_ref, s_ref, o_ref, acc_ref):
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    lo, hi = unpack_int4_halves(w_ref[:])
-    slo = s_ref[pl.ds(k, 1), :].astype(jnp.float32)
-    shi = s_ref[pl.ds(k + nk, 1), :].astype(jnp.float32)
-    acc_ref[:] += jnp.dot(
-        xlo_ref[:], lo.astype(xlo_ref.dtype), preferred_element_type=jnp.float32
-    ) * slo + jnp.dot(
-        xhi_ref[:], hi.astype(xhi_ref.dtype), preferred_element_type=jnp.float32
-    ) * shi
+    lo, hi = unpack_int4_halves(w_ref[:])          # each (m*gs, bn)
+    acc = acc_ref[:]
+    for j in range(m):  # static unroll: m group-aligned sub-dots per half
+        sl = slice(j * gs, (j + 1) * gs)
+        acc += jnp.dot(
+            xlo_ref[:, sl], lo[sl].astype(xlo_ref.dtype),
+            preferred_element_type=jnp.float32,
+        ) * slo_ref[0, j][None, :].astype(jnp.float32) + jnp.dot(
+            xhi_ref[:, sl], hi[sl].astype(xhi_ref.dtype),
+            preferred_element_type=jnp.float32,
+        ) * shi_ref[0, j][None, :].astype(jnp.float32)
+    acc_ref[:] = acc
 
     @pl.when(k == nk - 1)
     def _finish():
@@ -350,35 +357,48 @@ def quantized_matmul_w8a8(
     return out[:M]
 
 
-def _quantized_matmul_int4_grouped(x, q, scale, *, interpret, out_dtype):
-    """Pallas path for group-wise INT4 (scale [K/gs, N]); block_k is pinned to
-    the group size so scales index cleanly per step."""
+def _quantized_matmul_int4_grouped(x, q, scale, *, interpret, out_dtype,
+                                   block_n: int = 1024, block_k: int = 1024):
+    """Pallas path for group-wise INT4 (scale [K/gs, N]); block_k is a
+    MULTIPLE of the group size (m groups per grid step — see kernel)."""
     M, K = x.shape
     Kq, N = q.shape
     n_groups = scale.shape[0]
     gs = K // n_groups
-    if Kq % gs or N % 128 or gs % 128 or gs > Kq:
+    if Kq % gs or N % 128 or Kq % 128 or gs % 128 or gs > Kq:
         return quantized_matmul_ref(x, q, scale, bits=4, out_dtype=out_dtype)
-    bn = _pick_block(N, 1024)
-    nkb = Kq // gs
+    bn = _pick_block(N, block_n)
+    bk = _pick_block(Kq, block_k)
+    bk = max((bk // gs) * gs, gs)          # group-aligned K block
+    if Kq % bk:
+        bk = gs
     sub = _sublane(x.dtype)
     M_pad = ((M + sub - 1) // sub) * sub
     if M_pad != M:
         x = jnp.pad(x, ((0, M_pad - M), (0, 0)))
-    bn, _ = _fit_blocks(M_pad, bn, gs, N, Kq, x.dtype.itemsize, two_x_slices=True, min_bk=gs)
-    if N % bn:
+    bn, bk = _fit_blocks(M_pad, bn, bk, N, Kq, x.dtype.itemsize,
+                         two_x_slices=True, min_bk=gs)
+    bk = max((bk // gs) * gs, gs)
+    if N % bn or Kq % bk:
         return quantized_matmul_ref(x[:M], q, scale, bits=4, out_dtype=out_dtype)
+    m = bk // gs
+    nkb = Kq // bk
+    mp = ((m + 7) // 8) * 8  # sublane-padded scale rows per block
+    # per-half scale tables reshaped to grid-mapped (nkb, mp, N) blocks
+    g_half = n_groups // 2
+    s32 = scale.astype(jnp.float32)
+    s_lo = jnp.pad(s32[:g_half].reshape(nkb, m, N), ((0, 0), (0, mp - m), (0, 0)))
+    s_hi = jnp.pad(s32[g_half:].reshape(nkb, m, N), ((0, 0), (0, mp - m), (0, 0)))
+    kernel = functools.partial(_matmul_int4g_kernel, gs=gs, m=m)
     out = pl.pallas_call(
-        _matmul_int4g_kernel,
+        kernel,
         grid=(N // bn, nkb),
         in_specs=[
-            pl.BlockSpec((M_pad, gs), lambda j, k: (0, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M_pad, gs), lambda j, k: (0, k + nkb), memory_space=pltpu.VMEM),
-            pl.BlockSpec((gs, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
-            # full scale table per N-tile (rows sliced in-kernel; see kernel)
-            pl.BlockSpec(
-                (n_groups, bn), lambda j, k: (0, j), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((M_pad, bk), lambda j, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((M_pad, bk), lambda j, k: (0, k + nkb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp, bn), lambda j, k: (k, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp, bn), lambda j, k: (k, 0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((M_pad, bn), lambda j, k: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M_pad, N), out_dtype),
@@ -387,7 +407,7 @@ def _quantized_matmul_int4_grouped(x, q, scale, *, interpret, out_dtype):
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(x, x, q, scale.astype(jnp.float32), )
+    )(x, x, q, s_lo, s_hi)
     return out[:M]
 
 

@@ -103,7 +103,9 @@ async def server_sweep(args) -> None:
         async with session.get("/health") as r:
             assert r.status == 200, "server unhealthy"
         for dataset in args.datasets:
-            samples = synthetic_dataset(dataset, args.n_per_dataset)
+            from adaptive_sd_tpu.evalx.sweep import load_dataset
+
+            samples, _frozen = load_dataset(dataset, args.n_per_dataset)
             for lam in args.lambdas:
                 await session.post("/update_lambda", json={"lambda_value": lam})
                 await session.post("/reset_stats")

@@ -186,3 +186,89 @@ class TestSweep:
         assert set(summary) == {0.1, 5.0}
         # higher lambda must not cost more
         assert summary[5.0]["avg_cost"] <= summary[0.1]["avg_cost"] + 1e-9
+
+
+class TestFrozenDatasets:
+    """Vendored offline suites with objective scoring (VERDICT r1 #3)."""
+
+    def test_all_suites_load(self):
+        from adaptive_sd_tpu.evalx import load_samples
+
+        for name, min_n in [("factual-qa", 30), ("gsm-style", 90),
+                            ("humaneval-style", 8)]:
+            ss = load_samples(name)
+            assert len(ss) >= min_n
+            assert all(s.prompt and s.reference for s in ss)
+
+    def test_perfect_answers_score_one(self):
+        from adaptive_sd_tpu.evalx import evaluate_answers, load_frozen
+
+        for name in ("factual-qa", "gsm-style", "humaneval-style"):
+            items = load_frozen(name)
+            r = evaluate_answers(name, [str(it["answer"]) for it in items])
+            assert r["accuracy"] == 1.0, (name, r["accuracy"])
+
+    def test_wrong_answers_score_low(self):
+        from adaptive_sd_tpu.evalx import evaluate_answers, load_frozen
+
+        items = load_frozen("gsm-style")
+        r = evaluate_answers("gsm-style", ["the answer is 987654321"] * len(items))
+        assert r["accuracy"] == 0.0
+        items = load_frozen("humaneval-style")
+        r = evaluate_answers("humaneval-style",
+                             ["def nope():\n    return None"] * len(items))
+        assert r["accuracy"] == 0.0
+
+    def test_code_scorer_runs_real_tests(self):
+        from adaptive_sd_tpu.evalx import load_frozen, score_item
+
+        item = next(it for it in load_frozen("humaneval-style")
+                    if it["entry"] == "is_balanced")
+        good = "def is_balanced(s):\n    d = 0\n    for c in s:\n        d += c == '('\n        d -= c == ')'\n        if d < 0:\n            return False\n    return d == 0"
+        assert score_item(item, f"```python\n{good}\n```") == 1.0
+        subtly_wrong = "def is_balanced(s):\n    return s.count('(') == s.count(')')"
+        assert score_item(item, subtly_wrong) < 1.0
+
+    def test_deterministic_regeneration(self, tmp_path):
+        """The committed JSONs are reproducible from the generator."""
+        import json
+        import pathlib
+        import subprocess
+        import sys
+
+        from adaptive_sd_tpu.evalx.datasets import DATA_DIR
+
+        import scripts.build_datasets as bd
+
+        assert bd.build_gsm()[:3] == bd.build_gsm()[:3]
+        with open(pathlib.Path(DATA_DIR) / "gsm_style.json") as f:
+            frozen = json.load(f)
+        assert bd.build_gsm() == frozen
+
+
+class TestWorkload:
+    def test_marginal_solve_rate_matches_capability(self):
+        """By sigmoid symmetry over the uniform difficulty marginal, tier k's
+        expected solve rate over the workload ~= its capability bound."""
+        import numpy as np
+
+        from adaptive_sd_tpu.evalx import make_workload, tier_capabilities
+        from adaptive_sd_tpu.evalx.workload import solve_prob_matrix
+
+        items = make_workload(4000, seed=3)
+        caps = tier_capabilities(3)
+        p = solve_prob_matrix(items, caps, dispersion=0.05)
+        rates = p.mean(axis=0)
+        assert np.all(np.abs(rates - caps) < 0.05), (rates, caps)
+
+    def test_difficulty_observable_in_text(self):
+        """Harder items are longer — the predictor's feature signal."""
+        import numpy as np
+
+        from adaptive_sd_tpu.evalx import make_workload
+
+        items = make_workload(1000, seed=4)
+        lens = np.asarray([len(it.prompt) for it in items])
+        d = np.asarray([it.difficulty for it in items])
+        corr = np.corrcoef(lens, d)[0, 1]
+        assert corr > 0.5, corr
