@@ -59,6 +59,41 @@ def _iter_safetensors(model_dir: pathlib.Path) -> Iterator[tuple[str, np.ndarray
                 yield name, f.get_tensor(name)
 
 
+def spec_from_checkpoint(model_dir: str, *, name: Optional[str] = None) -> ModelSpec:
+    """Infer a ModelSpec from an HF checkpoint's ``config.json``.
+
+    Lets the real-weight path run on ANY Qwen2-family checkpoint directory
+    without a hand-registered spec (reference analog: vLLM reads the HF
+    config itself, ``src/serving/real_model_pipeline.py:89-115``).
+    """
+    p = pathlib.Path(model_dir)
+    cfg_path = p / "config.json"
+    if not cfg_path.exists():
+        raise ModelLoadError(f"{model_dir}: config.json missing — cannot infer spec")
+    cfg = json.loads(cfg_path.read_text())
+    try:
+        hidden = int(cfg["hidden_size"])
+        n_heads = int(cfg["num_attention_heads"])
+        spec = ModelSpec(
+            name=name or cfg.get("_name_or_path") or p.name or "checkpoint",
+            vocab_size=int(cfg.get("vocab_size", 151_936)),
+            hidden=hidden,
+            n_layers=int(cfg["num_hidden_layers"]),
+            n_heads=n_heads,
+            n_kv_heads=int(cfg.get("num_key_value_heads", n_heads)),
+            head_dim=int(cfg.get("head_dim", hidden // n_heads)),
+            ffn=int(cfg["intermediate_size"]),
+            rope_theta=float(cfg.get("rope_theta", 1_000_000.0)),
+            rms_eps=float(cfg.get("rms_norm_eps", 1e-6)),
+            max_seq_len=int(cfg.get("max_position_embeddings", 4096)),
+            tie_embeddings=bool(cfg.get("tie_word_embeddings", False)),
+            attn_bias=True,
+        )
+    except KeyError as exc:
+        raise ModelLoadError(f"{model_dir}: config.json missing field {exc}") from exc
+    return spec
+
+
 def verify_checkpoint(model_dir: str, spec: ModelSpec) -> dict:
     """Light-weight checkpoint sanity: config.json dims vs spec, shard
     presence (the download scripts' verification role)."""

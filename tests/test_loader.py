@@ -113,6 +113,51 @@ class TestLoader:
         with pytest.raises(ModelLoadError):
             load_params("/nonexistent", TINY)
 
+    def test_spec_from_checkpoint_infers_dims(self, checkpoint):
+        from adaptive_sd_tpu.models.loader import spec_from_checkpoint
+
+        tmp, _ = checkpoint
+        spec = spec_from_checkpoint(str(tmp))
+        assert (spec.hidden, spec.n_layers, spec.n_heads, spec.n_kv_heads,
+                spec.ffn) == (TINY.hidden, TINY.n_layers, TINY.n_heads,
+                              TINY.n_kv_heads, TINY.ffn)
+
+    def test_spec_from_checkpoint_missing_config(self, tmp_path):
+        from adaptive_sd_tpu.models.loader import spec_from_checkpoint
+
+        with pytest.raises(ModelLoadError):
+            spec_from_checkpoint(str(tmp_path))
+
+    def test_smoke_build_cascade_from_dirs(self, checkpoint):
+        """The real-weight smoke path: dir -> inferred spec -> verified ->
+        loaded -> engine-backed stage that generates (VERDICT round-1 #3)."""
+        import importlib.util
+        import pathlib as _pl
+
+        root = _pl.Path(__file__).resolve().parents[1]
+        spec_mod = importlib.util.spec_from_file_location(
+            "real_smoke", root / "scripts" / "real_smoke.py"
+        )
+        real_smoke = importlib.util.module_from_spec(spec_mod)
+        spec_mod.loader.exec_module(real_smoke)
+
+        tmp, _ = checkpoint
+        # config.json written by the fixture lacks vocab_size -> defaults to
+        # Qwen's 151936, which mismatches the tensors; write the full config
+        import json as _json
+
+        cfg = _json.loads((tmp / "config.json").read_text())
+        cfg.update(vocab_size=TINY.vocab_size, head_dim=TINY.head_dim,
+                   rope_theta=TINY.rope_theta, max_position_embeddings=64)
+        (tmp / "config.json").write_text(_json.dumps(cfg))
+
+        stages, reports = real_smoke.build_cascade(
+            [str(tmp)], [8], use_pallas=False, n_pages=32
+        )
+        assert reports[0]["ok"]
+        out = stages[0].generate_text(["hello world"], max_new=4)[0]
+        assert len(out.token_ids) >= 1
+
     def test_npz_roundtrip_quantized(self, checkpoint, tmp_path):
         tmp, params = checkpoint
         q = quantize_model(params, bits=8)
