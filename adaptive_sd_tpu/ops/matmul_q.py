@@ -73,7 +73,14 @@ def _fit_blocks(
         w = bk_ * bn_ * (6 if two_x_slices else 2)
         acc = M_pad * bn_ * 4
         out = M_pad * bn_ * x_itemsize * 2
-        return x + w + acc + out + bn_ * 8
+        # int4 kernels hold several (M_pad, bn) f32 live temporaries beyond
+        # the accumulator (two per-half dot results, scale products, and the
+        # grouped kernel's acc read-modify-write copy). Measured on v5e at
+        # M_pad=1536: scoped-vmem demand 16.8 MB vs 8.4 MB estimated without
+        # this term (bn=256, bk=384) — ~5 extra M x bn f32 buffers closes it.
+        # Negligible at decode's small M, so tuned decode blocks are kept.
+        tmp = M_pad * bn_ * 4 * (5 if two_x_slices else 0)
+        return x + w + acc + out + tmp + bn_ * 8
 
     while est(bn, bk) > _VMEM_BUDGET and (bn > 128 or bk > min_bk):
         if bk >= bn and bk > min_bk:

@@ -150,10 +150,14 @@ def save_samples(samples: Sequence[TrainingSample], path: str) -> None:
         json.dump([asdict(s) for s in samples], f)
 
 
-def load_samples(path: str) -> tuple[np.ndarray, np.ndarray]:
-    """Returns (X, y_label) feature matrices from a saved sample file."""
+def load_samples(path: str, with_texts: bool = False):
+    """Returns (X, y_label) feature matrices from a saved sample file;
+    with_texts additionally returns the aligned (prompt, draft) pairs that
+    activate the predictor's learned text-embedding block."""
     with open(path) as f:
         raw = json.load(f)
     X = np.asarray([s["features"] for s in raw], np.float32)
     y = np.asarray([s["label"] for s in raw], np.float32)
+    if with_texts:
+        return X, y, [(s["prompt"], s["draft"]) for s in raw]
     return X, y

@@ -129,7 +129,8 @@ def train_inline_predictor(
 ) -> MLPQualityPredictor:
     """Train the inline head on the 16 device-computable columns of the
     full 64-dim training matrix (one dataset serves both predictors)."""
-    m = MLPQualityPredictor(feature_dim=INLINE_DIM, hidden=(64, 32))
+    # embed_dim=0: the on-device graph has no text to hash — dense-only head
+    m = MLPQualityPredictor(feature_dim=INLINE_DIM, hidden=(64, 32), embed_dim=0)
     m.fit(np.asarray(X64)[:, INLINE_SLICE], y, **fit_kwargs)
     return m
 
@@ -142,6 +143,8 @@ def policy_from_predictor(
 ) -> InlinePolicyParams:
     if predictor.feature_dim != INLINE_DIM:
         raise ValueError(f"inline predictor must have {INLINE_DIM} features")
+    if getattr(predictor, "embed_dim", 0):
+        raise ValueError("inline predictor must be dense-only (embed_dim=0)")
     costs = jnp.asarray(costs, jnp.float32)
     return InlinePolicyParams(
         mlp=predictor.params,

@@ -25,23 +25,29 @@ import numpy as np
 import optax
 
 from ..core.types import PredictionResult
+from .embed import EMBED_LEN, EMBED_VOCAB, hash_batch, hash_indices, pool_np
 from .features import FEATURE_DIM, extract_features
 
 Params = dict
 
 
-def _init_mlp(key: jax.Array, sizes: Sequence[int]) -> Params:
+def _init_mlp(key: jax.Array, sizes: Sequence[int], embed_dim: int = 0) -> Params:
     params = {"w": [], "b": []}
-    keys = jax.random.split(key, len(sizes) - 1)
+    keys = jax.random.split(key, len(sizes))
     for k, (fan_in, fan_out) in zip(keys, zip(sizes[:-1], sizes[1:])):
         params["w"].append(jax.random.normal(k, (fan_in, fan_out)) * jnp.sqrt(2.0 / fan_in))
         params["b"].append(jnp.zeros((fan_out,)))
+    if embed_dim > 0:
+        # row 0 is the pad row; masked pooling keeps its gradient zero
+        params["emb"] = jax.random.normal(keys[-1], (EMBED_VOCAB, embed_dim)) * 0.1
     return params
 
 
 def mlp_forward(params: Params, x: jax.Array) -> jax.Array:
     """x: [..., F] -> acceptance probability [...] in (0,1). Pure jnp — usable
-    inline inside a jitted decode step."""
+    inline inside a jitted decode step. When the params carry a learned text
+    embedding table ("emb"), x must already include the pooled embedding —
+    use mlp_forward_embed for the raw-indices path."""
     h = x
     n = len(params["w"])
     for i, (w, b) in enumerate(zip(params["w"], params["b"])):
@@ -49,6 +55,18 @@ def mlp_forward(params: Params, x: jax.Array) -> jax.Array:
         if i < n - 1:
             h = jax.nn.relu(h)
     return jax.nn.sigmoid(h[..., 0])
+
+
+def mlp_forward_embed(
+    params: Params, x: jax.Array, idx: jax.Array, mask: jax.Array
+) -> jax.Array:
+    """Joint forward: gather + masked mean-pool the learned text embedding
+    and concatenate to the handcrafted features (reference parity: DistilBERT
+    dims appended to handcrafted features, enhanced_predictor.py:54-245)."""
+    e = params["emb"][idx]                       # [..., L, d]
+    m = mask[..., None]
+    pooled = (e * m).sum(axis=-2) / jnp.maximum(m.sum(axis=-2), 1.0)
+    return mlp_forward(params, jnp.concatenate([x, pooled], axis=-1))
 
 
 @dataclass
@@ -72,11 +90,19 @@ class MLPQualityPredictor:
         hidden: Sequence[int] = (128, 64),
         n_stages: int = 4,
         seed: int = 0,
+        embed_dim: int = 16,
     ) -> None:
+        """``embed_dim``: width of the learned text embedding trained jointly
+        with the MLP (0 disables). Without texts at fit/predict time the
+        embedding contributes a zero vector, so feature-only callers behave
+        exactly as before."""
         self.feature_dim = feature_dim
         self.hidden = tuple(hidden)
         self.n_stages = n_stages
-        self.params = _init_mlp(jax.random.key(seed), [feature_dim, *hidden, 1])
+        self.embed_dim = embed_dim
+        self.params = _init_mlp(
+            jax.random.key(seed), [feature_dim + embed_dim, *hidden, 1], embed_dim
+        )
         self.mean = np.zeros(feature_dim, np.float32)
         self.std = np.ones(feature_dim, np.float32)
         self._forward = jax.jit(mlp_forward)
@@ -101,10 +127,30 @@ class MLPQualityPredictor:
                 np.maximum(h, 0.0, out=h)
         return 1.0 / (1.0 + np.exp(-h[..., 0]))
 
-    def predict_features(self, feats: np.ndarray) -> np.ndarray:
+    def _pooled(self, texts) -> np.ndarray:
+        """[N, embed_dim] learned-embedding vectors (zeros when disabled or
+        no texts given — matches the masked-out training contribution)."""
+        n = len(texts) if texts is not None else 1
+        if self.embed_dim == 0 or texts is None:
+            return np.zeros((n, self.embed_dim), np.float32)
+        table = np.asarray(self.params["emb"], np.float32)
+        idx, mask = hash_batch(texts)
+        return pool_np(table, idx, mask).astype(np.float32)
+
+    def predict_features(self, feats: np.ndarray, texts=None) -> np.ndarray:
+        """``texts``: optional aligned (prompt, draft) pairs activating the
+        learned embedding block."""
         # clip: features constant in training (std floored) can be wildly
         # out-of-distribution at serve time; +-10 sigma keeps the MLP sane
         x = np.clip((np.atleast_2d(feats) - self.mean) / self.std, -10.0, 10.0)
+        if self.embed_dim:
+            if texts is None:
+                pooled = np.zeros((len(x), self.embed_dim), np.float32)
+            else:
+                if len(texts) != len(x):
+                    raise ValueError(f"{len(texts)} texts for {len(x)} feature rows")
+                pooled = self._pooled(texts)
+            x = np.concatenate([x, pooled], axis=-1)
         p = self._forward_np(x)
         a, b = self.calibration
         if (a, b) != (1.0, 0.0):
@@ -123,7 +169,9 @@ class MLPQualityPredictor:
         feats = extract_features(
             prompt, draft_output, draft_logprobs, stage_index, n_stages=self.n_stages
         )
-        p = float(self.predict_features(feats)[0])
+        p = float(
+            self.predict_features(feats, texts=[(prompt, draft_output)])[0]
+        )
         return PredictionResult(
             quality_score=p,
             confidence=abs(p - 0.5) * 2.0,
@@ -153,10 +201,16 @@ class MLPQualityPredictor:
         patience: int = 10,
         seed: int = 0,
         k_fold: int = 0,
+        texts=None,
     ) -> TrainReport:
         """BCE training with AdamW + cosine schedule + grad clip + early
         stopping; optional k-fold CV reporting (reference
-        scripts/train_predictor.py:261-466)."""
+        scripts/train_predictor.py:261-466).
+
+        ``texts``: optional aligned (prompt, draft) pairs — activates joint
+        training of the learned text-embedding block. Without texts the
+        embedding rows stay masked (zero contribution) and the model is the
+        plain dense MLP."""
         t_start = time.perf_counter()
         X = np.asarray(X, np.float32)
         y = np.asarray(y, np.float32)
@@ -165,6 +219,13 @@ class MLPQualityPredictor:
         # serve-time variation by 1/std ~ 1e6 (saturates the net)
         self.std = np.maximum(X.std(axis=0), 1e-3)
         Xn = (X - self.mean) / self.std
+        if self.embed_dim and texts is not None:
+            if len(texts) != len(Xn):
+                raise ValueError(f"{len(texts)} texts for {len(Xn)} samples")
+            IDX, MASK = hash_batch(texts)
+        else:
+            IDX = np.zeros((len(Xn), EMBED_LEN), np.int32)
+            MASK = np.zeros((len(Xn), EMBED_LEN), np.float32)
 
         report = TrainReport()
         if k_fold and k_fold > 1:
@@ -174,7 +235,8 @@ class MLPQualityPredictor:
                 val_idx = folds[fi]
                 tr_idx = np.concatenate([folds[j] for j in range(k_fold) if j != fi])
                 m, rep = self._train_one(
-                    Xn[tr_idx], y[tr_idx], Xn[val_idx], y[val_idx],
+                    Xn[tr_idx], IDX[tr_idx], MASK[tr_idx], y[tr_idx],
+                    Xn[val_idx], IDX[val_idx], MASK[val_idx], y[val_idx],
                     epochs, batch_size, lr, weight_decay, patience, seed + fi,
                 )
                 report.fold_metrics.append(
@@ -187,17 +249,24 @@ class MLPQualityPredictor:
         n_val = max(int(len(Xn) * val_frac), 1)
         val_idx, tr_idx = perm[:n_val], perm[n_val:]
         self.params, rep = self._train_one(
-            Xn[tr_idx], y[tr_idx], Xn[val_idx], y[val_idx],
+            Xn[tr_idx], IDX[tr_idx], MASK[tr_idx], y[tr_idx],
+            Xn[val_idx], IDX[val_idx], MASK[val_idx], y[val_idx],
             epochs, batch_size, lr, weight_decay, patience, seed,
         )
+        self._np_cache = None
         rep.fold_metrics = report.fold_metrics
         rep.train_time_s = time.perf_counter() - t_start
         return rep
 
     def _train_one(
-        self, Xtr, ytr, Xval, yval, epochs, batch_size, lr, weight_decay, patience, seed
+        self, Xtr, Itr, Mtr, ytr, Xval, Ival, Mval, yval,
+        epochs, batch_size, lr, weight_decay, patience, seed,
     ):
-        params = _init_mlp(jax.random.key(seed), [self.feature_dim, *self.hidden, 1])
+        params = _init_mlp(
+            jax.random.key(seed),
+            [self.feature_dim + self.embed_dim, *self.hidden, 1],
+            self.embed_dim,
+        )
         steps_per_epoch = max(len(Xtr) // batch_size, 1)
         sched = optax.cosine_decay_schedule(lr, epochs * steps_per_epoch)
         tx = optax.chain(
@@ -205,19 +274,26 @@ class MLPQualityPredictor:
             optax.adamw(sched, weight_decay=weight_decay),
         )
         opt_state = tx.init(params)
+        use_embed = self.embed_dim > 0
 
-        def loss_fn(p, xb, yb):
-            pred = mlp_forward(p, xb)
+        def fwd(p, xb, ib, mb):
+            if use_embed:
+                return mlp_forward_embed(p, xb, ib, mb)
+            return mlp_forward(p, xb)
+
+        def loss_fn(p, xb, ib, mb, yb):
+            pred = fwd(p, xb, ib, mb)
             pred = jnp.clip(pred, 1e-7, 1 - 1e-7)
             return -jnp.mean(yb * jnp.log(pred) + (1 - yb) * jnp.log(1 - pred))
 
         @jax.jit
-        def step(p, s, xb, yb):
-            l, g = jax.value_and_grad(loss_fn)(p, xb, yb)
+        def step(p, s, xb, ib, mb, yb):
+            l, g = jax.value_and_grad(loss_fn)(p, xb, ib, mb, yb)
             updates, s = tx.update(g, s, p)
             return optax.apply_updates(p, updates), s, l
 
         val_x, val_y = jnp.asarray(Xval), jnp.asarray(yval)
+        val_i, val_m = jnp.asarray(Ival), jnp.asarray(Mval)
         rep = TrainReport()
         best_val = np.inf
         best_params = params
@@ -229,10 +305,11 @@ class MLPQualityPredictor:
             for i in range(steps_per_epoch):
                 sl = order[i * batch_size : (i + 1) * batch_size]
                 params, opt_state, l = step(
-                    params, opt_state, jnp.asarray(Xtr[sl]), jnp.asarray(ytr[sl])
+                    params, opt_state, jnp.asarray(Xtr[sl]), jnp.asarray(Itr[sl]),
+                    jnp.asarray(Mtr[sl]), jnp.asarray(ytr[sl])
                 )
                 ep_loss += float(l)
-            vl = float(loss_fn(params, val_x, val_y))
+            vl = float(loss_fn(params, val_x, val_i, val_m, val_y))
             rep.train_losses.append(ep_loss / steps_per_epoch)
             rep.val_losses.append(vl)
             if vl < best_val - 1e-5:
@@ -244,7 +321,7 @@ class MLPQualityPredictor:
                     break
         rep.epochs_run = len(rep.train_losses)
 
-        pv = np.asarray(mlp_forward(best_params, val_x))
+        pv = np.asarray(fwd(best_params, val_x, val_i, val_m))
         rep.val_auc = _auc(yval, pv)
         ss_res = float(np.sum((yval - pv) ** 2))
         ss_tot = float(np.sum((yval - yval.mean()) ** 2)) or 1e-12
@@ -259,6 +336,8 @@ class MLPQualityPredictor:
         for i, (w, b) in enumerate(zip(self.params["w"], self.params["b"])):
             flat[f"w{i}"] = np.asarray(w)
             flat[f"b{i}"] = np.asarray(b)
+        if "emb" in self.params:
+            flat["emb"] = np.asarray(self.params["emb"])
         np.savez(
             p,
             mean=self.mean,
@@ -270,6 +349,7 @@ class MLPQualityPredictor:
                     "hidden": list(self.hidden),
                     "n_stages": self.n_stages,
                     "n_layers": len(self.params["w"]),
+                    "embed_dim": self.embed_dim,
                 }
             ),
             **flat,
@@ -279,11 +359,14 @@ class MLPQualityPredictor:
     def load(cls, path: str) -> "MLPQualityPredictor":
         data = np.load(path, allow_pickle=False)
         meta = json.loads(str(data["meta"]))
-        self = cls(meta["feature_dim"], meta["hidden"], meta["n_stages"])
+        self = cls(meta["feature_dim"], meta["hidden"], meta["n_stages"],
+                   embed_dim=meta.get("embed_dim", 0))
         self.params = {
             "w": [jnp.asarray(data[f"w{i}"]) for i in range(meta["n_layers"])],
             "b": [jnp.asarray(data[f"b{i}"]) for i in range(meta["n_layers"])],
         }
+        if "emb" in data:
+            self.params["emb"] = jnp.asarray(data["emb"])
         self.mean = data["mean"]
         self.std = data["std"]
         self.calibration = tuple(float(v) for v in data["calibration"])

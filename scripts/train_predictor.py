@@ -49,8 +49,9 @@ def main() -> None:
     out = args.out or cfg.predictor.checkpoint_path
     n_prompts = args.n_prompts or min(cfg.data.n_prompts, 5000)
 
+    texts = None
     if args.data:
-        X, y = load_samples(args.data)
+        X, y, texts = load_samples(args.data, with_texts=True)
         quality = y
     else:
         X, y, quality = generate_synthetic(
@@ -71,6 +72,7 @@ def main() -> None:
             weight_decay=cfg.predictor.weight_decay,
             patience=cfg.predictor.patience,
             k_fold=cfg.predictor.k_fold,
+            texts=texts,  # real-data runs train the text-embedding block too
         )
         model.save(out)
         summary = {

@@ -87,6 +87,79 @@ class TestMLPPredictor:
         assert len(rep.fold_metrics) == 3
 
 
+class TestLearnedEmbedding:
+    """The learned text-embedding block (reference parity: DistilBERT dims
+    appended to handcrafted features, enhanced_predictor.py:54-245 — here
+    trained jointly since no pretrained weights exist offline)."""
+
+    def test_hash_indices_deterministic_and_masked(self):
+        from adaptive_sd_tpu.predict import EMBED_LEN, EMBED_VOCAB, hash_indices
+
+        i1, m1 = hash_indices("What is the capital of France?", "Paris")
+        i2, m2 = hash_indices("What is the capital of France?", "Paris")
+        np.testing.assert_array_equal(i1, i2)
+        assert i1.shape == (EMBED_LEN,) and m1.shape == (EMBED_LEN,)
+        assert i1.max() < EMBED_VOCAB and i1[m1 > 0].min() >= 1  # 0 = pad
+        i3, _ = hash_indices("Completely different prompt text", "nope")
+        assert not np.array_equal(i1, i3)
+
+    def _text_only_task(self, n=400, seed=0):
+        """Labels depend ONLY on the text — handcrafted features carry no
+        signal, so any learning must come through the embedding."""
+        rng = np.random.default_rng(seed)
+        X = rng.normal(0, 1, size=(n, FEATURE_DIM)).astype(np.float32)
+        texts, y = [], []
+        for i in range(n):
+            good = i % 2 == 0
+            word = "reliable" if good else "dubious"
+            texts.append((f"question about {word} topic {i}", f"answer {i}"))
+            y.append(float(good))
+        return X, np.asarray(y, np.float32), texts
+
+    def test_embedding_learns_text_only_signal(self):
+        X, y, texts = self._text_only_task()
+        m = MLPQualityPredictor(embed_dim=16)
+        # small batches: an embedding trained from scratch needs optimizer
+        # steps, not epochs (batch 256 on 340 rows = 1 step/epoch)
+        rep = m.fit(X, y, epochs=80, patience=20, batch_size=32, texts=texts)
+        assert rep.val_auc > 0.9, f"embedding failed to learn: {rep.val_auc}"
+        # on FRESH items (unseen random features) only the text path carries
+        # signal: blind predictions are chance, text predictions generalise
+        Xf, yf, tf = self._text_only_task(n=100, seed=99)
+        blind_acc = ((m.predict_features(Xf) > 0.5) == (yf > 0.5)).mean()
+        text_acc = ((m.predict_features(Xf, texts=tf) > 0.5) == (yf > 0.5)).mean()
+        assert text_acc > 0.85
+        assert text_acc > blind_acc + 0.2
+
+    def test_dense_only_cannot_learn_text_task(self):
+        X, y, texts = self._text_only_task(seed=1)
+        m = MLPQualityPredictor(embed_dim=0)
+        rep = m.fit(X, y, epochs=15, patience=5, texts=texts)  # texts ignored
+        assert rep.val_auc < 0.75  # random features, no text path
+
+    def test_save_load_preserves_embedding(self, tmp_path):
+        X, y, texts = self._text_only_task(n=120, seed=2)
+        m = MLPQualityPredictor(embed_dim=8)
+        m.fit(X, y, epochs=5, patience=3, texts=texts)
+        p = str(tmp_path / "embed_pred.npz")
+        m.save(p)
+        m2 = MLPQualityPredictor.load(p)
+        assert m2.embed_dim == 8
+        np.testing.assert_allclose(
+            m.predict_features(X[:8], texts=texts[:8]),
+            m2.predict_features(X[:8], texts=texts[:8]),
+            rtol=1e-5,
+        )
+
+    def test_feature_only_callers_unaffected(self):
+        """fit/predict without texts behaves like a dense MLP (zero-masked
+        embedding) — the serving fallback path."""
+        X, y, _ = generate_synthetic(n_prompts=150, seed=4)
+        m = MLPQualityPredictor()  # embed_dim default on
+        rep = m.fit(X, y, epochs=20, patience=5)
+        assert rep.val_auc > 0.8
+
+
 class TestEnsemble:
     def test_fit_predict_uncertainty(self):
         X, y, q = generate_synthetic(n_prompts=200, seed=4)
