@@ -24,6 +24,7 @@ class TaskDomain(Enum):
     REASONING = "reasoning"
     CREATIVE = "creative"
     FACTUAL = "factual"
+    ANALYTICAL = "analytical"  # data/trends/metrics work (reference's 6th)
 
 
 class TaskComplexity(Enum):
@@ -58,6 +59,17 @@ class TaskCharacteristics:
     requires_precision: bool = False
     confidence: float = 0.0
     signals: dict[str, float] = field(default_factory=dict)
+    # detailed attributes (reference src/core/types.py:52-74)
+    requires_computation: bool = False
+    requires_creativity: bool = False
+    requires_factual_knowledge: bool = False
+    requires_reasoning: bool = False
+    requires_code_generation: bool = False
+    has_constraints: bool = False
+    requires_examples: bool = False
+    benefits_from_iteration: bool = False
+    estimated_steps: int = 1
+    domain_expertise_level: float = 0.0  # 0-1
 
 
 @dataclass

@@ -152,6 +152,59 @@ class TestTaxonomy:
         hard = tc.classify("Rigorously prove and analyze the optimal distributed algorithm " * 5)
         assert tc.recommend_stage(hard) >= tc.recommend_stage(easy)
 
+    def test_analytical_domain(self):
+        c = TaskClassifier().classify(
+            "Analyze the time series data for seasonal trends and report the "
+            "correlation between the two metrics"
+        )
+        assert c.domain == TaskDomain.ANALYTICAL
+
+    def test_detailed_attributes(self):
+        c = TaskClassifier().classify(
+            "Implement a python function that must run in O(n log n); first "
+            "sort the list, then merge; include an example and iterate to "
+            "optimize it"
+        )
+        assert c.requires_code_generation
+        assert c.has_constraints
+        assert c.requires_examples
+        assert c.benefits_from_iteration
+        assert c.estimated_steps >= 2
+
+    def test_cognitive_load_argmax_prefers_higher_bloom(self):
+        c = TaskClassifier().classify(
+            "Evaluate and critique which design is better and recommend one"
+        )
+        from adaptive_sd_tpu.core.types import CognitiveLoad
+
+        assert c.cognitive_load == CognitiveLoad.EVALUATION
+
+    def test_recommend_scores_normalised(self):
+        tc = TaskClassifier()
+        scores = tc.recommend_scores(tc.classify("Summarize this paragraph"), n_stages=4)
+        assert len(scores) == 4
+        assert abs(sum(scores) - 1.0) < 1e-9
+        assert all(s >= 0 for s in scores)
+
+    def test_batch_and_distribution(self):
+        tc = TaskClassifier()
+        tasks = tc.batch_classify([
+            "What is the capital of Peru?",
+            "Write a poem about rain",
+            "Solve 12 * 9 = ?",
+        ])
+        dist = tc.analyze_distribution(tasks)
+        assert dist["n"] == 3
+        assert sum(dist["domains"].values()) == 3
+        assert 0.0 <= dist["precision_fraction"] <= 1.0
+        assert tc.analyze_distribution([]) == {"n": 0}
+
+    def test_signals_carry_full_score_vector(self):
+        c = TaskClassifier().classify("Compute the integral of x^2")
+        assert any(k.startswith("domain_") for k in c.signals)
+        assert any(k.startswith("complexity_") for k in c.signals)
+        assert any(k.startswith("load_") for k in c.signals)
+
 
 class TestCostProfiler:
     def test_mock_fit_and_ratios(self):
