@@ -7,6 +7,7 @@ from .cost_optimizer import (
     PerformanceMonitor,
 )
 from .pipeline import AdaptiveCascadePipeline, PipelineConfig
+from .router import ReplicaRouter, build_replica_set
 from .scheduled import ScheduledCascadePipeline
 from .stages import EngineTextStage, MockStage, StageManager, TextStage
 

@@ -53,6 +53,22 @@ def _pick_block(dim: int, cap: int) -> int:
 
 _VMEM_BUDGET = 12 << 20  # leave headroom under the 16 MB scoped limit
 
+_BM_CAP = 512  # M-axis block rows for large-M (prefill/verify) shapes
+
+
+def _pick_bm(M: int, sub: int) -> tuple[int, int]:
+    """(bm, M_pad): M-axis block + padded M. Decode's small M stays a single
+    block; prefill/verify M (thousands of rows) blocks at _BM_CAP so bn/bk
+    keep their tuned widths instead of shrinking to fit VMEM. At M >= 512
+    these matmuls are MXU-bound (4*M flops per weight byte >> the ~480
+    flops/byte v5e roofline crossover), so re-streaming weight blocks once
+    per M-block hides behind compute."""
+    if M <= _BM_CAP:
+        M_pad = ((M + sub - 1) // sub) * sub
+        return M_pad, M_pad
+    M_pad = ((M + _BM_CAP - 1) // _BM_CAP) * _BM_CAP
+    return _BM_CAP, M_pad
+
 
 def _fit_blocks(
     M_pad: int, bn: int, bk: int, N: int, Kq: int, x_itemsize: int,
@@ -93,8 +109,9 @@ def _fit_blocks(
 
 
 def _matmul_int8_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
-    k = pl.program_id(1)
-    nk = pl.num_programs(1)
+    # grid is (m-block, n-block, k-block); k innermost accumulates
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
 
     @pl.when(k == 0)
     def _init():
@@ -115,8 +132,8 @@ def _matmul_int4_kernel(xlo_ref, xhi_ref, w_ref, s_ref, o_ref, acc_ref):
     # Split-half int4 layout (ops/quant.py): a packed block's low nibbles are
     # logical K rows [k*bp, (k+1)*bp) and its high nibbles the same range
     # offset by K/2 — contracted against two x slices, no lane interleave.
-    k = pl.program_id(1)
-    nk = pl.num_programs(1)
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
 
     @pl.when(k == 0)
     def _init():
@@ -146,8 +163,8 @@ def _matmul_int4g_kernel(xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref, o_ref,
     sublane multiple; the wrapper reshapes the [n_groups, N] table to
     [nkb, mp, N] per half) — static in-kernel row indexing, no dynamic
     slices (whose sublane-alignment rules reject odd m)."""
-    k = pl.program_id(1)
-    nk = pl.num_programs(1)
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
 
     @pl.when(k == 0)
     def _init():
@@ -207,6 +224,15 @@ def quantized_matmul(
         return _quantized_matmul_int4_grouped(
             x, q, scale, interpret=interpret, out_dtype=out_dtype
         )
+    # Large-M (prefill/verify) int8 routes to the XLA path: measured on v5e
+    # at M=1536 (scripts/prefill_kernel_probe.py), XLA's dequant+dot sustains
+    # 185-186 TFLOP/s across every layer shape vs 165-179 for the M-blocked
+    # Pallas kernel — the stock gemm pipeline wins once the op is MXU-bound.
+    # int4 stays Pallas: it ties XLA at large M and avoids materialising the
+    # dequantized bf16 weight; decode (small M) is weight-streaming bound and
+    # Pallas wins it outright.
+    if bits == 8 and M >= _BM_CAP and not interpret:
+        return quantized_matmul_ref(x, q, scale, bits=8, out_dtype=out_dtype)
 
     if N % 128 or Kq % 128:
         # Irregular dims: no lane-aligned blocking exists (e.g. int4-packed
@@ -218,29 +244,29 @@ def quantized_matmul(
     bk = _pick_block(Kq, block_k)
 
     sub = _sublane(x.dtype)
-    M_pad = ((M + sub - 1) // sub) * sub
+    bm, M_pad = _pick_bm(M, sub)
     if M_pad != M:
         x = jnp.pad(x, ((0, M_pad - M), (0, 0)))
 
-    bn, bk = _fit_blocks(M_pad, bn, bk, N, Kq, x.dtype.itemsize, two_x_slices=bits == 4)
+    bn, bk = _fit_blocks(bm, bn, bk, N, Kq, x.dtype.itemsize, two_x_slices=bits == 4)
     if N % bn or Kq % bk:
         return quantized_matmul_ref(x[:M], q, scale, bits=bits, out_dtype=out_dtype)
 
     nkb = Kq // bk  # K-axis grid size (packed-row blocks for int4)
-    grid = (N // bn, nkb)
+    grid = (M_pad // bm, N // bn, nkb)
     common_specs = [
-        pl.BlockSpec((bk, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bn), lambda j, k: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
     ]
     if bits == 8:
         kernel = _matmul_int8_kernel
-        x_specs = [pl.BlockSpec((M_pad, bk), lambda j, k: (0, k), memory_space=pltpu.VMEM)]
+        x_specs = [pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM)]
     else:
         kernel = _matmul_int4_kernel
         x_specs = [
-            pl.BlockSpec((M_pad, bk), lambda j, k: (0, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (M_pad, bk), lambda j, k: (0, k + nkb), memory_space=pltpu.VMEM
+                (bm, bk), lambda i, j, k: (i, k + nkb), memory_space=pltpu.VMEM
             ),
         ]
 
@@ -249,15 +275,16 @@ def quantized_matmul(
         kernel,
         grid=grid,
         in_specs=x_specs + common_specs,
-        out_specs=pl.BlockSpec((M_pad, bn), lambda j, k: (0, j), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M_pad, N), out_dtype),
-        scratch_shapes=[pltpu.VMEM((M_pad, bn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * M_pad * K * N,
-            bytes_accessed=M_pad * K * x.dtype.itemsize + Kq * N + M_pad * N * 2,
+            bytes_accessed=M_pad * K * x.dtype.itemsize
+            + (M_pad // bm) * Kq * N + M_pad * N * 2,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -269,8 +296,8 @@ def _matmul_w8a8_kernel(x_ref, xs_ref, w_ref, ws_ref, o_ref, acc_ref):
     """int8 x int8 -> int32 MXU accumulation; row x col scales on the final
     K step. Measured 447 GB/s weight streaming vs 304 for the weight-only
     int8 kernel on v5e (docs/ARCHITECTURE.md §7)."""
-    k = pl.program_id(1)
-    nk = pl.num_programs(1)
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
 
     @pl.when(k == 0)
     def _init():
@@ -330,12 +357,12 @@ def quantized_matmul_w8a8(
             out_dtype
         )
 
-    M_pad = ((M + 31) // 32) * 32  # int8 sublane multiple
+    bm, M_pad = _pick_bm(M, 32)  # int8 sublane multiple
     if M_pad != M:
         xq = jnp.pad(xq, ((0, M_pad - M), (0, 0)))
         xs = jnp.pad(xs, ((0, M_pad - M), (0, 0)), constant_values=1.0)
 
-    bn, bk = _fit_blocks(M_pad, bn, bk, N, K, 1, two_x_slices=False)
+    bn, bk = _fit_blocks(bm, bn, bk, N, K, 1, two_x_slices=False)
     if N % bn or K % bk:
         acc = jax.lax.dot_general(
             xq[:M], q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
@@ -346,18 +373,18 @@ def quantized_matmul_w8a8(
 
     out = pl.pallas_call(
         _matmul_w8a8_kernel,
-        grid=(N // bn, K // bk),
+        grid=(M_pad // bm, N // bn, K // bk),
         in_specs=[
-            pl.BlockSpec((M_pad, bk), lambda j, k: (0, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M_pad, 1), lambda j, k: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda j, k: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((M_pad, bn), lambda j, k: (0, j), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M_pad, N), out_dtype),
-        scratch_shapes=[pltpu.VMEM((M_pad, bn), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(xq, xs.astype(jnp.float32), q, scale.reshape(1, N).astype(jnp.float32))
@@ -380,10 +407,10 @@ def _quantized_matmul_int4_grouped(x, q, scale, *, interpret, out_dtype,
     if Kq % bk:
         bk = gs
     sub = _sublane(x.dtype)
-    M_pad = ((M + sub - 1) // sub) * sub
+    bm, M_pad = _pick_bm(M, sub)
     if M_pad != M:
         x = jnp.pad(x, ((0, M_pad - M), (0, 0)))
-    bn, bk = _fit_blocks(M_pad, bn, bk, N, Kq, x.dtype.itemsize,
+    bn, bk = _fit_blocks(bm, bn, bk, N, Kq, x.dtype.itemsize,
                          two_x_slices=True, min_bk=gs)
     bk = max((bk // gs) * gs, gs)
     if N % bn or Kq % bk:
@@ -399,19 +426,19 @@ def _quantized_matmul_int4_grouped(x, q, scale, *, interpret, out_dtype,
     kernel = functools.partial(_matmul_int4g_kernel, gs=gs, m=m)
     out = pl.pallas_call(
         kernel,
-        grid=(N // bn, nkb),
+        grid=(M_pad // bm, N // bn, nkb),
         in_specs=[
-            pl.BlockSpec((M_pad, bk), lambda j, k: (0, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M_pad, bk), lambda j, k: (0, k + nkb), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, bn), lambda j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mp, bn), lambda j, k: (k, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mp, bn), lambda j, k: (k, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k + nkb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp, bn), lambda i, j, k: (k, 0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((M_pad, bn), lambda j, k: (0, j), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M_pad, N), out_dtype),
-        scratch_shapes=[pltpu.VMEM((M_pad, bn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(x, x, q, s_lo, s_hi)

@@ -202,6 +202,7 @@ class MLPQualityPredictor:
         seed: int = 0,
         k_fold: int = 0,
         texts=None,
+        calibrate: bool = False,
     ) -> TrainReport:
         """BCE training with AdamW + cosine schedule + grad clip + early
         stopping; optional k-fold CV reporting (reference
@@ -210,7 +211,12 @@ class MLPQualityPredictor:
         ``texts``: optional aligned (prompt, draft) pairs — activates joint
         training of the learned text-embedding block. Without texts the
         embedding rows stay masked (zero contribution) and the model is the
-        plain dense MLP."""
+        plain dense MLP.
+
+        ``calibrate``: Platt-scale the output probabilities on the validation
+        split (a, b on the logit — reference analog: the DP consumes the
+        predictor as a probability, so calibration error translates directly
+        into routing error)."""
         t_start = time.perf_counter()
         X = np.asarray(X, np.float32)
         y = np.asarray(y, np.float32)
@@ -254,6 +260,13 @@ class MLPQualityPredictor:
             epochs, batch_size, lr, weight_decay, patience, seed,
         )
         self._np_cache = None
+        if calibrate and len(val_idx) >= 20:
+            self.calibration = (1.0, 0.0)
+            p_val = self.predict_features(
+                X[val_idx],
+                texts=[texts[i] for i in val_idx] if texts is not None else None,
+            )
+            self.calibration = _fit_platt(p_val, y[val_idx])
         rep.fold_metrics = report.fold_metrics
         rep.train_time_s = time.perf_counter() - t_start
         return rep
@@ -371,6 +384,51 @@ class MLPQualityPredictor:
         self.std = data["std"]
         self.calibration = tuple(float(v) for v in data["calibration"])
         return self
+
+
+def _fit_platt(p: np.ndarray, y: np.ndarray, iters: int = 50) -> tuple[float, float]:
+    """Fit sigmoid(a * logit(p) + b) to binary labels by Newton's method
+    (2-parameter logistic regression — Platt scaling). Targets use the
+    standard (n+ + 1)/(n+ + 2), 1/(n- + 2) smoothing to avoid overconfident
+    endpoints."""
+    p = np.clip(np.asarray(p, np.float64), 1e-7, 1 - 1e-7)
+    y = np.asarray(y, np.float64) > 0.5
+    z = np.log(p / (1 - p))
+    n_pos, n_neg = y.sum(), (~y).sum()
+    t = np.where(y, (n_pos + 1.0) / (n_pos + 2.0), 1.0 / (n_neg + 2.0))
+    def nll(a_, b_):
+        s = np.clip(a_ * z + b_, -35, 35)
+        q = 1.0 / (1.0 + np.exp(-s))
+        q = np.clip(q, 1e-12, 1 - 1e-12)
+        return -np.sum(t * np.log(q) + (1 - t) * np.log(1 - q))
+
+    a, b = 1.0, 0.0
+    loss = nll(a, b)
+    for _ in range(iters):
+        s = np.clip(a * z + b, -35, 35)
+        q = 1.0 / (1.0 + np.exp(-s))
+        g = np.array([np.sum((q - t) * z), np.sum(q - t)])
+        w = q * (1 - q)
+        h = np.array([[np.sum(w * z * z) + 1e-9, np.sum(w * z)],
+                      [np.sum(w * z), np.sum(w) + 1e-9]])
+        step = np.linalg.solve(h, g)
+        # damped Newton: backtrack until the NLL decreases (a plain step
+        # diverges when the start is far from the optimum)
+        scale = 1.0
+        for _ in range(30):
+            na, nb = a - scale * step[0], b - scale * step[1]
+            new_loss = nll(na, nb)
+            if new_loss <= loss:
+                break
+            scale *= 0.5
+        else:
+            break
+        a, b, loss = na, nb, new_loss
+        if scale * np.abs(step).max() < 1e-8:
+            break
+    if not (np.isfinite(a) and np.isfinite(b)) or a <= 0:
+        return (1.0, 0.0)  # degenerate fit: keep identity
+    return (float(a), float(b))
 
 
 def _auc(y: np.ndarray, p: np.ndarray) -> float:

@@ -139,6 +139,12 @@ def main() -> None:
         help="continuous-batching execution plane (per-tier lane schedulers "
         "with draft-verify escalation admission; engine-backed stages only)",
     )
+    ap.add_argument(
+        "--replicas", type=int, default=1,
+        help="data-parallel cascade replicas behind a least-loaded router "
+        "(cross-host serving topology: one replica per host slice, DCN "
+        "carries only requests — cascade/router.py)",
+    )
     args = ap.parse_args()
 
     setup_logging("INFO")
@@ -146,12 +152,14 @@ def main() -> None:
     host = args.host or serving.server.host
     port = args.port or serving.server.port
 
-    if args.mock:
-        stages = _mock_stages()
-    elif args.synthetic:
-        stages = _synthetic_stages()
-    else:
-        stages = _real_stages(args.cascade_config)
+    def build_stages():
+        if args.mock:
+            return _mock_stages()
+        if args.synthetic:
+            return _synthetic_stages()
+        return _real_stages(args.cascade_config)
+
+    stages = build_stages()
 
     if args.predictor:
         if args.predictor.endswith(".pkl"):
@@ -175,19 +183,31 @@ def main() -> None:
         cache_ttl_s=serving.cache.ttl_s,
         cache_max_bytes=serving.cache.max_bytes,
     )
-    if args.scheduled or serving.server.scheduled_batching:
-        from adaptive_sd_tpu.cascade import ScheduledCascadePipeline
+    def make_pipeline(stage_set):
+        if args.scheduled or serving.server.scheduled_batching:
+            from adaptive_sd_tpu.cascade import ScheduledCascadePipeline
 
-        pipeline = ScheduledCascadePipeline(
-            stages,
-            predictor,
-            pcfg,
-            max_batch=serving.server.max_batch_lanes,
-            max_context=serving.server.max_context,
-            scan_steps=serving.server.decode_scan_steps,
+            return ScheduledCascadePipeline(
+                stage_set,
+                predictor,
+                pcfg,
+                max_batch=serving.server.max_batch_lanes,
+                max_context=serving.server.max_context,
+                scan_steps=serving.server.decode_scan_steps,
+            )
+        return AdaptiveCascadePipeline(stage_set, predictor, pcfg)
+
+    if args.replicas > 1:
+        from adaptive_sd_tpu.cascade import ReplicaRouter
+
+        # replica 0 reuses the stages built above; the rest build their own
+        # engines (in production each lives on its host's mesh slice)
+        pipeline = ReplicaRouter(
+            [make_pipeline(stages)]
+            + [make_pipeline(build_stages()) for _ in range(args.replicas - 1)]
         )
     else:
-        pipeline = AdaptiveCascadePipeline(stages, predictor, pcfg)
+        pipeline = make_pipeline(stages)
     optimizer = None
     if serving.optimization.enable_dynamic_cost:
         optimizer = DynamicCostOptimizer(

@@ -79,6 +79,41 @@ class TestQuantizedMatmul:
         out = quantized_matmul(x, t.q, t.scale, bits=8, interpret=True)
         assert out.shape == (3, 96)
 
+    @pytest.mark.parametrize("bits", [8, 4])
+    def test_large_m_blocks_match_reference(self, rng, bits):
+        """M > _BM_CAP exercises the M-axis grid blocking (prefill/verify
+        shapes): multiple M blocks, padded tail rows, identical math."""
+        K, N, M = 512, 256, 1000  # M_pad = 1024 -> two 512-row M blocks
+        w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32))
+        x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+        t = quantize_int8(w) if bits == 8 else quantize_int4(w)
+        ref = quantized_matmul_ref(x, t.q, t.scale, bits=bits)
+        ker = quantized_matmul(x, t.q, t.scale, bits=bits, interpret=True)
+        assert ker.shape == (M, N)
+        np.testing.assert_allclose(np.asarray(ker), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    def test_large_m_grouped_matches_reference(self, rng):
+        K, N, M = 512, 256, 600  # M_pad = 1024, ragged final block
+        w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32))
+        x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+        t = quantize_int4(w, group_size=128)
+        ref = quantized_matmul_ref(x, t.q, t.scale, bits=4)
+        ker = quantized_matmul(x, t.q, t.scale, bits=4, interpret=True)
+        assert ker.shape == (M, N)
+        np.testing.assert_allclose(np.asarray(ker), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    def test_large_m_w8a8_matches_float(self, rng):
+        from adaptive_sd_tpu.ops.matmul_q import quantized_matmul_w8a8
+
+        K, N, M = 512, 256, 700
+        w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32))
+        x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+        t = quantize_int8(w)
+        y = quantized_matmul_w8a8(x, t.q, t.scale, interpret=True)
+        assert y.shape == (M, N)
+        rel = float(jnp.linalg.norm(y - x @ w) / jnp.linalg.norm(x @ w))
+        assert rel < 0.03
+
     def test_shape_validation(self):
         with pytest.raises(ValueError):
             quantized_matmul(

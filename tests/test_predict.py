@@ -151,6 +151,29 @@ class TestLearnedEmbedding:
             rtol=1e-5,
         )
 
+    def test_platt_recovers_overconfidence(self):
+        from adaptive_sd_tpu.predict.mlp import _fit_platt
+
+        rng = np.random.default_rng(0)
+        p_true = rng.uniform(0.05, 0.95, 4000)
+        y = (rng.random(4000) < p_true).astype(np.float32)
+        logit = np.log(p_true / (1 - p_true))
+        p_over = 1.0 / (1.0 + np.exp(-3.0 * logit))  # overconfident model
+        a, b = _fit_platt(p_over, y)
+        assert 0.25 < a < 0.45  # recovers ~1/3
+        z = np.log(np.clip(p_over, 1e-7, 1 - 1e-7) / (1 - np.clip(p_over, 1e-7, 1 - 1e-7)))
+        p_cal = 1.0 / (1.0 + np.exp(-(a * z + b)))
+        brier_raw = np.mean((p_over - y) ** 2)
+        brier_cal = np.mean((p_cal - y) ** 2)
+        assert brier_cal < brier_raw
+
+    def test_fit_with_calibrate_flag(self):
+        X, y, _ = generate_synthetic(n_prompts=200, seed=7)
+        m = MLPQualityPredictor()
+        m.fit(X, y, epochs=10, patience=4, calibrate=True)
+        p = m.predict_features(X[:20])
+        assert np.all((p >= 0) & (p <= 1))
+
     def test_feature_only_callers_unaffected(self):
         """fit/predict without texts behaves like a dense MLP (zero-masked
         embedding) — the serving fallback path."""
