@@ -62,6 +62,13 @@ class PipelineConfig:
     min_draft_quality_for_verify: float = 0.3
     cache_ttl_s: float = 1800.0
     cache_max_bytes: int = 1 << 30
+    # Speculative prefix prefetch (scheduled plane only): when the PROMPT
+    # alone predicts likely escalation, the next tier pre-warms the prompt
+    # into its prefix cache while tier 0 decodes — the later verify
+    # admission then prefills only the draft suffix. Prefetch only fills
+    # idle target-tier capacity (never competes with real admissions).
+    enable_prefetch: bool = False
+    prefetch_threshold: float = 0.5   # prompt-only p(accept) below this -> prefetch
 
 
 class AdaptiveCascadePipeline:

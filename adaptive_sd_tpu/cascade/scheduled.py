@@ -155,7 +155,41 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
         with self._inflight_lock:
             self._inflight.add(job)
         self._submit_tier(job, 0, draft=None)
+        if self.config.enable_prefetch and self.n_stages > 1:
+            self._maybe_prefetch(request)
         return job
+
+    def _maybe_prefetch(self, request: RequestContext) -> None:
+        """Speculative prefix prefetch: when the PROMPT alone predicts
+        likely escalation, pre-warm the next tier's prefix cache with the
+        prompt while tier 0 decodes — the eventual verify admission then
+        prefills only the draft suffix. Fire-and-forget into IDLE capacity
+        only; unused pages sit refcount-free in the prefix cache and are
+        evicted first under pressure."""
+        try:
+            p0 = float(
+                self.predictor.predict(request.prompt, "", None, 0).quality_score
+            )
+        except Exception:  # noqa: BLE001 — prefetch is best-effort
+            return
+        if p0 >= self.config.prefetch_threshold:
+            return
+        tier = 1
+        stage = self.stages[tier]
+        sched = self.schedulers[tier]
+        engine = getattr(stage, "engine", None)
+        if engine is None or getattr(engine, "prefix_cache", None) is None:
+            return
+        if sched.idle_capacity() < 1:
+            return
+        toks = stage.tokenize(request.prompt)
+        if len(toks) + 1 > sched.max_context:
+            return
+        with self._lock:
+            self._stats["prefetches"] = self._stats.get("prefetches", 0) + 1
+        # max_new=1: prompt prefill publishes the page chain; the one decoded
+        # token is discarded with the lane
+        sched.submit(toks, max_new=1, request_id=f"{request.request_id}.pf{tier}")
 
     def _submit_tier(self, job: _CascadeJob, tier: int, draft, draft_q=None) -> None:
         # per-(request, stage) response cache (fused-plane parity,

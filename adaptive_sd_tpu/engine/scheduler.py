@@ -793,6 +793,13 @@ class ContinuousBatchingScheduler:
             if n == 0:
                 time.sleep(0.001)
 
+    def idle_capacity(self) -> int:
+        """Free lanes beyond already-queued work — capacity a speculative
+        prefetch may consume without delaying real admissions. Approximate
+        (read without the dispatch lock); callers treat it as a hint."""
+        free = sum(r is None for r in self._lanes)
+        return max(free - self._queue.qsize() - len(self._resume), 0)
+
     def stats(self) -> dict:
         occ = sum(r is not None for r in self._lanes)
         return {

@@ -571,3 +571,72 @@ class TestLaneTopP:
             assert r.done and not r.error
             diffs += int(r.out_tokens != ref)
         assert diffs >= 1
+
+
+class TestSpeculativePrefetch:
+    """Speculative prefix prefetch (cascade/scheduled.py _maybe_prefetch):
+    escalation-likely prompts pre-warm the next tier's prefix cache so the
+    verify admission prefills only the draft suffix."""
+
+    def _pipe(self, predictor_q, *, prefetch, threshold=0.5):
+        stages = []
+        for i, name in enumerate(["small", "large"]):
+            params = init_params(TINY, jax.random.key(i + 1), dtype=jnp.float32)
+            eng = TierEngine(TINY, params, page_size=PAGE, n_pages=256,
+                             use_pallas=False, enable_prefix_cache=True)
+            stages.append(EngineTextStage(eng, _tok, _detok, name=name,
+                                          cost_per_token=float(i * 3 + 1)))
+        pipe = ScheduledCascadePipeline(
+            StageManager(stages), FixedPredictor(predictor_q),
+            PipelineConfig(lam=0.01, enable_caching=False,
+                           min_draft_quality_for_verify=0.0,
+                           enable_prefetch=prefetch,
+                           prefetch_threshold=threshold),
+            max_batch=4, max_context=256,
+        )
+        return pipe, stages
+
+    def test_prefetch_warms_target_tier_and_output_unchanged(self):
+        # long prompt (several pages) so the prefix reuse is visible
+        prompt = "escalate this please " * 6
+        base, _ = self._pipe(0.2, prefetch=False)
+        try:
+            want = base.process_request(
+                RequestContext(prompt=prompt, max_tokens=8), timeout=120)
+        finally:
+            base.shutdown()
+        assert want.final_stage == 1  # low score escalates
+
+        pipe, stages = self._pipe(0.2, prefetch=True)
+        try:
+            res = pipe.process_request(
+                RequestContext(prompt=prompt, max_tokens=8), timeout=120)
+            assert res.error is None
+            assert res.final_stage == 1
+            assert res.text == want.text  # prefetch must not change output
+            assert pipe.get_stats().get("prefetches", 0) == 1
+            pc = stages[1].engine.prefix_cache.stats()
+            assert pc["hits"] >= 1  # the verify admission reused the prompt
+        finally:
+            pipe.shutdown()
+
+    def test_confident_prompt_not_prefetched(self):
+        pipe, stages = self._pipe(0.9, prefetch=True)
+        try:
+            res = pipe.process_request(
+                RequestContext(prompt="easy question", max_tokens=6), timeout=120)
+            assert res.error is None
+            assert pipe.get_stats().get("prefetches", 0) == 0
+        finally:
+            pipe.shutdown()
+
+    def test_prefetch_refs_drain(self):
+        pipe, stages = self._pipe(0.2, prefetch=True)
+        try:
+            for i in range(3):
+                pipe.process_request(
+                    RequestContext(prompt=f"hard task {i} " * 5, max_tokens=6),
+                    timeout=120)
+        finally:
+            pipe.shutdown()
+        assert stages[1].engine.prefix_cache.stats()["held_refs"] == 0
