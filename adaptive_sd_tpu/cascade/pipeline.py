@@ -62,6 +62,16 @@ class PipelineConfig:
     min_draft_quality_for_verify: float = 0.3
     cache_ttl_s: float = 1800.0
     cache_max_bytes: int = 1 << 30
+    # Forward-looking DP escalations may jump toward their k* target
+    # (0 -> 2), skipping tiers the priors rate as insufficient. The reference
+    # walks strictly sequentially (pipeline.py:259-266); skipping saves the
+    # intermediate tier's full verify + decode on hard requests. Only tiers
+    # whose RUNNING PRIOR falls below skip_prior_threshold are skipped: a
+    # plausible intermediate tier keeps the option value of re-deciding
+    # there with its own draft in hand (the DP's plan is deterministic in
+    # the priors; per-stage re-decision beats it when the tier might stop).
+    allow_tier_skip: bool = True
+    skip_prior_threshold: float = 0.35
     # Speculative prefix prefetch (scheduled plane only): when the PROMPT
     # alone predicts likely escalation, the next tier pre-warms the prompt
     # into its prefix cache while tier 0 decodes — the later verify
@@ -144,6 +154,28 @@ class AdaptiveCascadePipeline:
         return float(self._prior_p[i])
 
     def _decide(self, probs_visited: list[float], lam: float) -> tuple[int, float]:
+        """Contiguous-visit wrapper over :meth:`_decide_at` (stages 0..i
+        visited in order — the batch path and legacy callers)."""
+        return self._decide_at(list(enumerate(probs_visited)), lam)
+
+    def _next_tier(self, i: int, k_star: int) -> int:
+        """Escalation target from tier ``i`` given the DP's ``k_star``:
+        sequential by default; with allow_tier_skip, hop over intermediate
+        tiers whose running prior is below skip_prior_threshold (they would
+        almost surely escalate again), stopping at the first plausible tier
+        so its own draft can update the decision."""
+        nxt = i + 1
+        if self.config.allow_tier_skip:
+            while (
+                nxt < k_star
+                and self._stage_prior(nxt) < self.config.skip_prior_threshold
+            ):
+                nxt += 1
+        return min(nxt, self.n_stages - 1)
+
+    def _decide_at(
+        self, visited: list[tuple[int, float]], lam: float
+    ) -> tuple[int, float]:
         """Stopping decision per configured strategy (reference
         OptimizationConfig.strategy, serving_config.py:26-79):
 
@@ -151,23 +183,25 @@ class AdaptiveCascadePipeline:
                    probs, future stages running priors (default)
         threshold  static theory-derived thresholds (policy/theory.py)
         ucb        online UCB bandit over stages (policy/dp.AdaptiveStopping)
+
+        ``visited``: (stage_index, adjusted_prob) pairs in visit order — not
+        necessarily contiguous when tier skipping is enabled. The returned
+        ``k*`` may exceed current+1: the DP is forward-looking, and the
+        escalation paths jump straight to it (allow_tier_skip).
         """
         n = self.n_stages
-        i = len(probs_visited) - 1
+        i = visited[-1][0]
         if self.config.strategy == "threshold":
             theta = self._thresholds(lam)
-            k = i if probs_visited[i] >= theta[i] or i == n - 1 else i + 1
+            k = i if visited[-1][1] >= theta[i] or i == n - 1 else i + 1
             return k, 0.0
         if self.config.strategy == "ucb":
             if self._ucb.should_explore(min(i + 1, n - 1)) and i < n - 1:
                 return i + 1, 0.0
             return i, 0.0
-        p = [0.0] * n
-        for idx, v in enumerate(probs_visited):
+        p = [self._stage_prior(idx) for idx in range(n)]
+        for idx, v in visited:
             p[idx] = v
-        for idx in range(len(probs_visited), n):
-            p[idx] = self._stage_prior(idx)
-        p[n - 1] = max(p[n - 1], 1.0 if len(probs_visited) == n else p[n - 1])
         # Costs are normalised to max-cumulative = 1 for the DP so lambda ~ 1
         # is a balanced operating point: quality loss lives in [0, 1], and
         # unnormalised cost units would make escalation unwinnable at any
@@ -206,8 +240,11 @@ class AdaptiveCascadePipeline:
 
         prev_output = None
         failed_stages: list[int] = []
+        visited_idx: list[int] = []
         try:
-            for i, stage in enumerate(self.stages):
+            i = 0
+            while i < self.n_stages:
+                stage = self.stages[i]
                 cached = (
                     self.cache.get(request.request_id, i) if self.config.enable_caching else None
                 )
@@ -279,6 +316,8 @@ class AdaptiveCascadePipeline:
                         raise
                     probs.append(0.0)
                     raw_probs.append(0.0)
+                    visited_idx.append(i)
+                    i += 1
                     continue
                 prev_output = output
                 if not was_cached and self.config.enable_caching:
@@ -311,12 +350,15 @@ class AdaptiveCascadePipeline:
                     beta=self.config.risk_beta,
                 ) if not is_last else 1.0
                 probs.append(p_adj)
+                visited_idx.append(i)
 
                 if inline_flag is not None and not is_last:
                     k_star = i + 1 if inline_flag else i
                     v0 = 0.0
                 else:
-                    k_star, v0 = self._decide(probs, lam)
+                    k_star, v0 = self._decide_at(
+                        list(zip(visited_idx, probs)), lam
+                    )
                 dec_time = time.perf_counter() - t_dec
                 stop = k_star <= i or is_last
                 if self.config.quality_floor and p_adj < self.config.quality_floor:
@@ -348,6 +390,12 @@ class AdaptiveCascadePipeline:
                         rationale=f"DP k*={k_star} at stage {i}",
                     )
                     break
+                # Forward-looking escalation: hop over tiers with hopeless
+                # running priors toward the DP's k* (the skipped-to tier
+                # still verifies the current draft speculatively); stop the
+                # hop at the first plausible tier to keep its re-decision
+                # option.
+                i = self._next_tier(i, k_star)
 
             if self.config.enable_caching:
                 self.cache.truncate_at_stage(request.request_id, final_idx)

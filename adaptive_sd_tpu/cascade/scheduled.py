@@ -58,6 +58,7 @@ class _CascadeJob:
     t0: float = field(default_factory=time.perf_counter)
     probs: list = field(default_factory=list)
     raw_probs: list = field(default_factory=list)
+    visited: list = field(default_factory=list)   # stage indices, visit order
     stage_results: list = field(default_factory=list)
     failed_stages: list = field(default_factory=list)
     decision: Optional[OptimizationDecision] = None
@@ -234,6 +235,7 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
                 )
                 job.probs.append(0.0)
                 job.raw_probs.append(0.0)
+                job.visited.append(tier)
                 if is_last:
                     self._finalize(job, error=f"stage {tier} failed: {sreq.error}")
                 else:
@@ -306,7 +308,10 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
                 )
             )
             job.probs.append(p_adj)
-            k_star, v0 = self._decide(job.probs, job.lam)
+            job.visited.append(tier)
+            k_star, v0 = self._decide_at(
+                list(zip(job.visited, job.probs)), job.lam
+            )
             dec_time = time.perf_counter() - t_dec
             stop = k_star <= tier or is_last
             if self.config.quality_floor and p_adj < self.config.quality_floor:
@@ -357,7 +362,8 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
                 draft_q = None
                 if draft and job.request.temperature > 0:
                     draft_q = output.draft_q
-                self._submit_tier(job, tier + 1, draft=draft, draft_q=draft_q)
+                self._submit_tier(job, self._next_tier(tier, k_star),
+                                  draft=draft, draft_q=draft_q)
         except Exception as exc:  # noqa: BLE001 - jobs must resolve, not hang
             self._finalize(job, error=f"{type(exc).__name__}: {exc}")
 

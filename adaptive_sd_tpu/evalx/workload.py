@@ -74,17 +74,41 @@ class WorkloadItem:
     level: int          # 0..N_LEVELS-1
 
 
-def tier_capabilities(n_tiers: int) -> np.ndarray:
-    """Per-tier solve rates from the theory layer's quality bounds: the
-    first ``n_tiers - 1`` bounds plus the last (largest tier), matching how
-    a 3-tier 7B→32B→72B cascade subsamples the 4-stage bound table."""
-    from ..policy.theory import TheoreticalParameters
+# The REAL models' published MMLU accuracies (Qwen2.5 Technical Report,
+# arXiv:2412.15115, base-model evaluation table; matching the model cards):
+# 7B 74.2, 14B 79.7, 32B 83.3, 72B 86.1. This is the measured capability
+# structure the reference's >95%-quality claim rests on — 32B alone already
+# preserves 83.3/86.1 = 96.7% of always-72B on MMLU, which is exactly why an
+# adaptive cascade rarely needs the top tier. (Independent of the
+# reference's published STAGE DISTRIBUTION — these are the upstream models'
+# own benchmark scores.)
+_MEASURED_CAPS = [0.742, 0.797, 0.833, 0.861]  # 7B, 14B, 32B, 72B
 
-    bounds = list(TheoreticalParameters().quality_bounds)
+
+def tier_capabilities(n_tiers: int, source: str = "measured") -> np.ndarray:
+    """Per-tier solve rates.
+
+    ``source="measured"`` (default): the published MMLU accuracies of the
+    actual Qwen2.5 hierarchy (see _MEASURED_CAPS) — the capability-gap
+    structure real cascades face.
+    ``source="theory"``: the theory layer's nominal quality bounds
+    (policy/theory.py TheoreticalParameters.quality_bounds, the reference's
+    config surface src/theory/optimal_stopping.py:38-43) — steeper gaps,
+    kept for sensitivity analysis.
+
+    A 3-tier 7B→32B→72B cascade keeps the smallest tier's entry plus the
+    largest ``n_tiers - 1`` entries (drops the 14B row).
+    """
+    if source == "measured":
+        bounds = list(_MEASURED_CAPS)
+    elif source == "theory":
+        from ..policy.theory import TheoreticalParameters
+
+        bounds = list(TheoreticalParameters().quality_bounds)
+    else:
+        raise ValueError(f"unknown capability source {source!r}")
     if n_tiers >= len(bounds):
         return np.asarray(bounds[:n_tiers], np.float64)
-    # keep the smallest tier's bound and the LARGEST n_tiers-1 bounds: a
-    # 3-tier 7B→32B→72B cascade drops the 14B row of the 4-stage table
     return np.asarray([bounds[0]] + bounds[-(n_tiers - 1):], np.float64)
 
 

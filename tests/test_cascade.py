@@ -522,3 +522,86 @@ class TestAdaptiveEscalationPolicy:
         res = pipe.process_request(RequestContext(prompt="hopeless", max_tokens=6))
         assert res.succeeded and res.final_stage == 1
         assert calls["plain"] == 1 and calls["verify"] == 0
+
+
+class TestTierSkip:
+    """Forward-looking escalation may jump straight to the DP's k* target
+    (PipelineConfig.allow_tier_skip), saving the skipped tier's work."""
+
+    class _StageScore:
+        def __init__(self, by_stage):
+            self.by_stage = by_stage
+
+        def predict(self, prompt, draft, logprobs, stage):
+            from adaptive_sd_tpu.core.types import PredictionResult
+
+            return PredictionResult(quality_score=self.by_stage.get(stage, 0.9))
+
+    def _stages(self):
+        return StageManager([
+            MockStage("s0", cost_per_token=1.0),
+            MockStage("s1", cost_per_token=2.0),
+            MockStage("s2", cost_per_token=4.0),
+        ])
+
+    def _cfg(self, skip):
+        # stage-1 prior is hopeless, stage-2 strong: from stage 0 the DP's
+        # k* lands on 2 directly
+        return PipelineConfig(
+            lam=0.3, enable_caching=False, allow_tier_skip=skip,
+            prior_quality=(0.6, 0.05, 0.97), risk_alpha=1e-6, risk_beta=1e-6,
+        )
+
+    def test_skip_jumps_over_hopeless_tier(self):
+        pipe = AdaptiveCascadePipeline(
+            self._stages(), self._StageScore({0: 0.02, 2: 0.9}), self._cfg(True)
+        )
+        res = pipe.process_request(RequestContext(prompt="hard thing"))
+        assert res.error is None
+        assert [sr.stage_index for sr in res.stage_results] == [0, 2]
+
+    def test_sequential_without_skip(self):
+        pipe = AdaptiveCascadePipeline(
+            self._stages(),
+            self._StageScore({0: 0.02, 1: 0.02, 2: 0.9}),
+            self._cfg(False),
+        )
+        res = pipe.process_request(RequestContext(prompt="hard thing"))
+        assert res.error is None
+        assert [sr.stage_index for sr in res.stage_results] == [0, 1, 2]
+
+    def test_skip_in_scheduled_plane(self):
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from adaptive_sd_tpu.cascade import EngineTextStage, ScheduledCascadePipeline
+        from adaptive_sd_tpu.engine import TierEngine
+        from adaptive_sd_tpu.models import TINY, init_params
+
+        def tok(text):
+            return [(ord(c) % (TINY.vocab_size - 1)) + 1 for c in text[:48]] or [1]
+
+        def detok(ids):
+            return " ".join(str(int(i)) for i in ids)
+
+        stages = []
+        for i in range(3):
+            params = init_params(TINY, jax.random.key(i + 1), dtype=jnp.float32)
+            eng = TierEngine(TINY, params, page_size=16, n_pages=128, use_pallas=False)
+            stages.append(EngineTextStage(eng, tok, detok, name=f"t{i}",
+                                          cost_per_token=float(2 ** i)))
+        pipe = ScheduledCascadePipeline(
+            StageManager(stages), self._StageScore({0: 0.02, 2: 0.9}),
+            dataclasses.replace(self._cfg(True), min_draft_quality_for_verify=0.0),
+            max_batch=2, max_context=128,
+        )
+        try:
+            res = pipe.process_request(
+                RequestContext(prompt="hard thing", max_tokens=6), timeout=120
+            )
+            assert res.error is None
+            assert [sr.stage_index for sr in res.stage_results] == [0, 2]
+        finally:
+            pipe.shutdown()
