@@ -189,8 +189,10 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
         with self._lock:
             self._stats["prefetches"] = self._stats.get("prefetches", 0) + 1
         # max_new=1: prompt prefill publishes the page chain; the one decoded
-        # token is discarded with the lane
-        sched.submit(toks, max_new=1, request_id=f"{request.request_id}.pf{tier}")
+        # token is discarded with the lane. priority=-1: prefetches queue
+        # behind every real admission and are first in line for preemption.
+        sched.submit(toks, max_new=1, priority=-1,
+                     request_id=f"{request.request_id}.pf{tier}")
 
     def _submit_tier(self, job: _CascadeJob, tier: int, draft, draft_q=None) -> None:
         # per-(request, stage) response cache (fused-plane parity,
@@ -218,6 +220,7 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
             request_id=f"{job.request.request_id}.t{tier}",
             draft=draft,
             draft_q=draft_q,
+            priority=job.request.priority,
             on_done=lambda sreq, _j=job, _t=tier: self._on_tier_done(_j, _t, sreq),
         )
 

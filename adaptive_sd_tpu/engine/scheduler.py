@@ -44,6 +44,10 @@ class SchedRequest:
     max_new: int = 128
     temperature: float = 0.0
     top_p: float = 1.0
+    # Admission order: higher priority admits first (FIFO within a level);
+    # preemption under page pressure victimises the LOWEST priority first
+    # (reference surface: RequestContext.priority, core/types.py).
+    priority: int = 0
     # Speculative escalation into this tier's lanes: when set, admission runs
     # a verify pass over [prompt + draft] (engine.verify_admit_sample_batch)
     # instead of a plain prefill — the accepted prefix lands in out_tokens in
@@ -112,7 +116,13 @@ class ContinuousBatchingScheduler:
         self.page = engine.page_size
         self.max_pages = (max_context + self.page - 1) // self.page
         self._lanes: list[Optional[SchedRequest]] = [None] * max_batch
-        self._queue: "queue.Queue[SchedRequest]" = queue.Queue()
+        # (-priority, seq) ordering: higher priority first, FIFO within a
+        # level (seq is a monotone tiebreak — heap order is otherwise
+        # undefined for equal keys)
+        self._queue: "queue.PriorityQueue[tuple[int, int, SchedRequest]]" = (
+            queue.PriorityQueue()
+        )
+        self._enq_seq = 0
         # preempted requests waiting for recompute re-admission; served BEFORE
         # the arrival queue (they are the oldest work — FIFO fairness)
         self._resume: collections.deque[SchedRequest] = collections.deque()
@@ -145,6 +155,7 @@ class ContinuousBatchingScheduler:
         request_id: Optional[str] = None, draft: Optional[Sequence[int]] = None,
         draft_q: Optional[tuple] = None,
         on_done: Optional[Callable[[SchedRequest], None]] = None,
+        priority: int = 0,
     ) -> SchedRequest:
         """``draft``: a lower tier's output tokens — admission verifies them
         in one parallel pass and the lane resumes after the accepted prefix.
@@ -172,8 +183,10 @@ class ContinuousBatchingScheduler:
             draft=draft,
             draft_q=draft_q,
             on_done=on_done,
+            priority=priority,
         )
-        self._queue.put(req)
+        self._enq_seq += 1
+        self._queue.put((-priority, self._enq_seq, req))
         return req
 
     # -------------------------------------------------------------- internals
@@ -203,7 +216,9 @@ class ContinuousBatchingScheduler:
         while len(batch) < len(free):
             timeout = deadline - time.monotonic()
             try:
-                req = self._queue.get(timeout=max(timeout, 0) if batch == [] else 0)
+                _, _, req = self._queue.get(
+                    timeout=max(timeout, 0) if batch == [] else 0
+                )
             except queue.Empty:
                 break
             batch.append((free[len(batch)], req))
@@ -411,10 +426,10 @@ class ContinuousBatchingScheduler:
                 self._resume.appendleft(req)
 
     def _pick_victim(self, exclude: int = -1) -> Optional[int]:
-        """Newest-arrival occupied lane — the preemption victim (oldest work
-        keeps its pages; FIFO fairness under pressure)."""
+        """Preemption victim: lowest priority first, newest arrival within a
+        level (high-priority and oldest work keep their pages)."""
         cands = [
-            (req.arrival, lane)
+            ((-req.priority, req.arrival), lane)
             for lane, req in enumerate(self._lanes)
             if req is not None and lane != exclude
         ]

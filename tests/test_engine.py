@@ -734,3 +734,48 @@ def _set_tiny_vocab():
 
 
 _set_tiny_vocab()
+
+
+class TestPriorityScheduling:
+    """RequestContext.priority drives admission order and preemption
+    victim choice (reference surface: core/types.py priority field)."""
+
+    def test_high_priority_admits_first(self, tiny_params):
+        from adaptive_sd_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+        eng = TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=128,
+                         use_pallas=False)
+        # one lane: queued requests admit strictly by priority
+        sched = ContinuousBatchingScheduler(eng, max_batch=1, max_context=64)
+        low = sched.submit([1, 2, 3], max_new=2, priority=0)
+        high = sched.submit([4, 5, 6], max_new=2, priority=5)
+        sched.run_until_idle()
+        assert low.done and high.done
+        assert high.finished_at < low.finished_at  # high jumped the queue
+
+    def test_fifo_within_priority_level(self, tiny_params):
+        from adaptive_sd_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+        eng = TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=128,
+                         use_pallas=False)
+        sched = ContinuousBatchingScheduler(eng, max_batch=1, max_context=64)
+        first = sched.submit([1, 2], max_new=2)
+        second = sched.submit([3, 4], max_new=2)
+        sched.run_until_idle()
+        assert first.finished_at < second.finished_at
+
+    def test_low_priority_preempted_first(self, tiny_params):
+        from adaptive_sd_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+        eng = TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=6,
+                         use_pallas=False)
+        sched = ContinuousBatchingScheduler(eng, max_batch=2, max_context=96)
+        # admit a HIGH-priority request first, then a LOW one; drive page
+        # pressure so a victim must be chosen: the low-priority lane loses
+        # its pages even though it arrived later AND the high one is older
+        high = sched.submit([1] * 30, max_new=24, priority=5)
+        low = sched.submit([2] * 30, max_new=24, priority=0)
+        sched.run_until_idle()
+        assert high.done and low.done and not high.error and not low.error
+        if sched.preemptions:
+            assert low.preemptions >= high.preemptions
