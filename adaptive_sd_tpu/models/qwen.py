@@ -270,21 +270,36 @@ def _qkv(spec: ModelSpec, layer, x, *, use_pallas: bool, act_quant: bool):
     return q, k, v
 
 
-def _mlp(spec: ModelSpec, layer, x, *, use_pallas: bool, act_quant: bool, tp_axis=None):
+def _row_reduce(x, w, tp_axis, tp_overlap: int, *, use_pallas: bool,
+                act_quant: bool):
+    """Row-parallel sublayer ending: local matmul + all-reduce over tp_axis.
+    ``tp_overlap`` > 1 selects the ppermute-ring collective-matmul overlap
+    (parallel/overlap.py) instead of matmul-then-psum."""
+    if tp_axis is None:
+        return linear(x, w, use_pallas=use_pallas, act_quant=act_quant)
+    from ..parallel.overlap import row_parallel_reduce
+
+    return row_parallel_reduce(
+        x, w, tp_axis, tp_overlap,
+        lambda xx, ww: linear(xx, ww, use_pallas=use_pallas, act_quant=act_quant),
+        overlap=tp_overlap > 1,
+    )
+
+
+def _mlp(spec: ModelSpec, layer, x, *, use_pallas: bool, act_quant: bool,
+         tp_axis=None, tp_overlap: int = 0):
     """SwiGLU MLP, fused (gateup_proj) or separate. Under TP (tp_axis set and
     spec holding LOCAL head/ffn counts) gate/up are column-parallel, down is
-    row-parallel with one psum — the whole sublayer costs one all-reduce."""
+    row-parallel with one psum — the whole sublayer costs one all-reduce
+    (or the overlapped ring when ``tp_overlap`` > 1)."""
     if "gateup_proj" in layer:
         gu = linear(x, layer["gateup_proj"], use_pallas=use_pallas, act_quant=act_quant)
         gate, up = gu[..., : spec.ffn], gu[..., spec.ffn :]
     else:
         gate = linear(x, layer["gate_proj"], use_pallas=use_pallas, act_quant=act_quant)
         up = linear(x, layer["up_proj"], use_pallas=use_pallas, act_quant=act_quant)
-    out = linear(jax.nn.silu(gate) * up, layer["down_proj"],
-                 use_pallas=use_pallas, act_quant=act_quant)
-    if tp_axis is not None:
-        out = jax.lax.psum(out, tp_axis)
-    return out
+    return _row_reduce(jax.nn.silu(gate) * up, layer["down_proj"], tp_axis,
+                       tp_overlap, use_pallas=use_pallas, act_quant=act_quant)
 
 
 # ---------------------------------------------------------------------------
@@ -316,6 +331,7 @@ def prefill(
     act_quant: bool = False,
     return_hidden: bool = False,
     tp_axis=None,
+    tp_overlap: int = 0,
 ):
     """Process full prompts; returns (last-token logits [B, V] f32, cache)
     or, with ``return_hidden``, (logits, cache, final hidden states [B, S, H]
@@ -342,16 +358,14 @@ def prefill(
 
         attn = prefill_attention(q, k, v, sm_scale=sm_scale, seq_lens=seq_lens)
         attn = attn.reshape(B, S, spec.n_heads * spec.head_dim)
-        attn_out = linear(attn, layer["o_proj"], use_pallas=use_pallas, act_quant=act_quant)
-        if tp_axis is not None:
-            attn_out = jax.lax.psum(attn_out, tp_axis)
-        h = h + attn_out
+        h = h + _row_reduce(attn, layer["o_proj"], tp_axis, tp_overlap,
+                            use_pallas=use_pallas, act_quant=act_quant)
 
         cache = cache.write_prefill(li, k, v, block_tables, seq_lens)
 
         x = rms_norm(h, layer["post_norm"], spec.rms_eps)
         h = h + _mlp(spec, layer, x, use_pallas=use_pallas, act_quant=act_quant,
-                     tp_axis=tp_axis)
+                     tp_axis=tp_axis, tp_overlap=tp_overlap)
 
     last = jnp.take_along_axis(h, (seq_lens - 1)[:, None, None], axis=1)[:, 0]  # [B, H]
     logits = _logits(params, spec, last, use_pallas=use_pallas, act_quant=act_quant)
@@ -377,6 +391,7 @@ def prefill_window(
     use_pallas: bool = True,
     act_quant: bool = False,
     tp_axis=None,
+    tp_overlap: int = 0,
 ):
     """Chunked prefill: process a WINDOW of tokens whose prefix KV is already
     in the cache pages (prefix caching / chunked long-prompt prefill / the
@@ -429,14 +444,12 @@ def prefill_window(
         )
         attn = attn.reshape(B, spec.n_kv_heads, W, G, spec.head_dim)
         attn = jnp.swapaxes(attn, 1, 2).reshape(B, W, spec.n_heads * spec.head_dim)
-        attn_out = linear(attn, layer["o_proj"], use_pallas=use_pallas, act_quant=act_quant)
-        if tp_axis is not None:
-            attn_out = jax.lax.psum(attn_out, tp_axis)
-        h = h + attn_out
+        h = h + _row_reduce(attn, layer["o_proj"], tp_axis, tp_overlap,
+                            use_pallas=use_pallas, act_quant=act_quant)
 
         x = rms_norm(h, layer["post_norm"], spec.rms_eps)
         h = h + _mlp(spec, layer, x, use_pallas=use_pallas, act_quant=act_quant,
-                     tp_axis=tp_axis)
+                     tp_axis=tp_axis, tp_overlap=tp_overlap)
 
     return h, cache
 
@@ -452,6 +465,7 @@ def decode_step(
     use_pallas: bool = True,
     act_quant: bool = False,
     tp_axis=None,
+    tp_overlap: int = 0,
 ):
     """One decode step for the whole batch; returns (logits [B, V] f32, cache).
     ``tp_axis``: see :func:`prefill` — shard_map TP mode."""
@@ -483,13 +497,11 @@ def decode_step(
             sm_scale=sm_scale,
         )
         attn = attn.reshape(B, spec.n_heads * spec.head_dim)
-        attn_out = linear(attn, layer["o_proj"], use_pallas=use_pallas, act_quant=act_quant)
-        if tp_axis is not None:
-            attn_out = jax.lax.psum(attn_out, tp_axis)
-        h = h + attn_out
+        h = h + _row_reduce(attn, layer["o_proj"], tp_axis, tp_overlap,
+                            use_pallas=use_pallas, act_quant=act_quant)
 
         x = rms_norm(h, layer["post_norm"], spec.rms_eps)
         h = h + _mlp(spec, layer, x, use_pallas=use_pallas, act_quant=act_quant,
-                     tp_axis=tp_axis)
+                     tp_axis=tp_axis, tp_overlap=tp_overlap)
 
     return _logits(params, spec, h, use_pallas=use_pallas, act_quant=act_quant), cache

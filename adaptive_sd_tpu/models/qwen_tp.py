@@ -248,14 +248,20 @@ def make_tp_forward(
     axis: str = AXIS_TP,
     use_pallas: bool = True,
     act_quant: bool = False,
+    overlap_collectives: bool = False,
 ) -> SimpleNamespace:
     """Build (prefill, decode_step, logits_at) with the qwen.py signatures,
     each running the whole model inside one shard_map over ``axis``. Params
     must come from :func:`prepare_tp_params`, the cache from
     :func:`shard_cache_tp`. Data args (tokens/lens/tables) are replicated
-    across the mesh; logits return vocab-sharded (GSPMD finishes sampling)."""
+    across the mesh; logits return vocab-sharded (GSPMD finishes sampling).
+
+    ``overlap_collectives``: run the row-parallel sublayer endings as
+    ppermute-ring collective matmuls (parallel/overlap.py) instead of
+    matmul-then-psum, hiding the all-reduce under the chunked compute."""
     tp = mesh.shape[axis]
     lspec = local_spec(spec, tp)
+    tp_overlap = tp if overlap_collectives else 0
 
     def prefill_fn(params, _spec, tokens, seq_lens, cache, block_tables,
                    return_hidden: bool = False):
@@ -274,6 +280,7 @@ def make_tp_forward(
                 params_l, lspec, tokens, seq_lens, cache_l, tables,
                 use_pallas=use_pallas, act_quant=act_quant,
                 return_hidden=return_hidden, tp_axis=axis,
+                tp_overlap=tp_overlap,
             )
 
         return run(params, tokens, seq_lens, cache, block_tables)
@@ -292,6 +299,7 @@ def make_tp_forward(
             return qwen.decode_step(
                 params_l, lspec, tokens, positions, cache_l, tables,
                 use_pallas=use_pallas, act_quant=act_quant, tp_axis=axis,
+                tp_overlap=tp_overlap,
             )
 
         return run(params, tokens, positions, cache, block_tables)
@@ -331,6 +339,7 @@ def make_tp_forward(
             return qwen.prefill_window(
                 params_l, lspec, tokens_w, offsets, win_lens, cache_l, tables,
                 use_pallas=use_pallas, act_quant=act_quant, tp_axis=axis,
+                tp_overlap=tp_overlap,
             )
 
         return run(params, tokens_w, offsets, win_lens, cache, block_tables)
