@@ -160,22 +160,28 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
             self._maybe_prefetch(request)
         return job
 
-    def _maybe_prefetch(self, request: RequestContext) -> None:
-        """Speculative prefix prefetch: when the PROMPT alone predicts
-        likely escalation, pre-warm the next tier's prefix cache with the
-        prompt while tier 0 decodes — the eventual verify admission then
-        prefills only the draft suffix. Fire-and-forget into IDLE capacity
-        only; unused pages sit refcount-free in the prefix cache and are
-        evicted first under pressure."""
-        try:
-            p0 = float(
-                self.predictor.predict(request.prompt, "", None, 0).quality_score
-            )
-        except Exception:  # noqa: BLE001 — prefetch is best-effort
+    def _maybe_prefetch(self, request: RequestContext, tier: int = 1,
+                        score: Optional[float] = None) -> None:
+        """Speculative prefix prefetch: when the predictor score (the
+        PROMPT-ONLY score at arrival; the escalating draft's score for
+        chain prefetches) predicts likely escalation, pre-warm ``tier``'s
+        prefix cache with the prompt while the lower tier works — the
+        eventual verify admission then prefills only the draft suffix.
+        Fire-and-forget into IDLE capacity only; unused pages sit
+        refcount-free in the prefix cache and are evicted first under
+        pressure."""
+        if tier >= self.n_stages:
             return
-        if p0 >= self.config.prefetch_threshold:
+        if score is None:
+            try:
+                score = float(
+                    self.predictor.predict(request.prompt, "", None, 0)
+                    .quality_score
+                )
+            except Exception:  # noqa: BLE001 — prefetch is best-effort
+                return
+        if score >= self.config.prefetch_threshold:
             return
-        tier = 1
         stage = self.stages[tier]
         sched = self.schedulers[tier]
         engine = getattr(stage, "engine", None)
@@ -365,8 +371,16 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
                 draft_q = None
                 if draft and job.request.temperature > 0:
                     draft_q = output.draft_q
-                self._submit_tier(job, self._next_tier(tier, k_star),
-                                  draft=draft, draft_q=draft_q)
+                nxt = self._next_tier(tier, k_star)
+                self._submit_tier(job, nxt, draft=draft, draft_q=draft_q)
+                # Chain prefetch: a request already proven harder than tier
+                # `tier` thought may escalate again — pre-warm the tier
+                # after the one it just entered, gated by the same
+                # threshold on the draft-informed score that triggered
+                # this escalation (idle capacity only, best-effort).
+                if self.config.enable_prefetch:
+                    self._maybe_prefetch(job.request, tier=nxt + 1,
+                                         score=p_raw)
         except Exception as exc:  # noqa: BLE001 - jobs must resolve, not hang
             self._finalize(job, error=f"{type(exc).__name__}: {exc}")
 

@@ -69,9 +69,16 @@ def generate_from_engines(
     max_new: int = 128,
     quality_threshold: float = 0.7,
     costs: Optional[Sequence[float]] = None,
+    include_prompt_only: bool = True,
 ) -> list[TrainingSample]:
     """Run the full hierarchy per prompt; label each tier's draft by
-    similarity to the last (largest) tier's output."""
+    similarity to the last (largest) tier's output.
+
+    ``include_prompt_only`` additionally emits one draft-less row per prompt
+    (stage 0, empty draft, no logprobs) carrying tier 0's label: the
+    speculative-prefetch decision (cascade/scheduled.py _maybe_prefetch)
+    scores ``predict(prompt, "", None, 0)`` at request arrival, and without
+    these rows that call is out-of-distribution for the trained MLP."""
     samples: list[TrainingSample] = []
     costs = list(costs) if costs is not None else [1.0] * len(engines)
     for prompt in prompts:
@@ -97,6 +104,19 @@ def generate_from_engines(
                     features=feats.tolist(),
                 )
             )
+            if si == 0 and include_prompt_only:
+                samples.append(
+                    TrainingSample(
+                        prompt=prompt,
+                        stage_index=0,
+                        draft="",
+                        quality=q,
+                        label=int(q >= quality_threshold),
+                        features=extract_features(
+                            prompt, "", None, 0, n_stages=len(engines)
+                        ).tolist(),
+                    )
+                )
     return samples
 
 

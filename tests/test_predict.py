@@ -248,12 +248,22 @@ class TestGenerateFromEngines:
             ["first prompt", "second prompt"], engines, tok, detok,
             max_new=6, costs=[1.0, 4.0],
         )
-        assert len(samples) == 4  # 2 prompts x 2 stages
+        # 2 prompts x (2 stages + 1 prompt-only prefetch row)
+        assert len(samples) == 6
         last = [s for s in samples if s.stage_index == 1]
         assert all(s.quality == 1.0 and s.label == 1 for s in last)
         assert all(len(s.features) == 64 for s in samples)
+        prompt_only = [s for s in samples if s.draft == ""]
+        assert len(prompt_only) == 2  # in-distribution prefetch scoring rows
+        assert all(s.stage_index == 0 for s in prompt_only)
+
+        plain = generate_from_engines(
+            ["first prompt"], engines, tok, detok, max_new=6,
+            include_prompt_only=False,
+        )
+        assert len(plain) == 2
 
         p = str(tmp_path / "data.json")
         save_samples(samples, p)
         X, y = load_samples(p)
-        assert X.shape == (4, 64) and y.shape == (4,)
+        assert X.shape == (6, 64) and y.shape == (6,)

@@ -630,6 +630,36 @@ class TestSpeculativePrefetch:
         finally:
             pipe.shutdown()
 
+    def test_chain_prefetch_warms_third_tier(self):
+        """An escalation to tier 1 chain-prefetches tier 2 (gated by the
+        escalating draft's score), so the second escalation's verify
+        admission also reuses the prompt pages."""
+        stages = []
+        for i, name in enumerate(["small", "mid", "large"]):
+            params = init_params(TINY, jax.random.key(i + 1), dtype=jnp.float32)
+            eng = TierEngine(TINY, params, page_size=PAGE, n_pages=256,
+                             use_pallas=False, enable_prefix_cache=True)
+            stages.append(EngineTextStage(eng, _tok, _detok, name=name,
+                                          cost_per_token=float(i * 3 + 1)))
+        pipe = ScheduledCascadePipeline(
+            StageManager(stages), FixedPredictor(0.2),
+            PipelineConfig(lam=0.01, enable_caching=False,
+                           min_draft_quality_for_verify=0.0,
+                           enable_prefetch=True),
+            max_batch=4, max_context=256,
+        )
+        try:
+            prompt = "escalate this twice please " * 6
+            res = pipe.process_request(
+                RequestContext(prompt=prompt, max_tokens=8), timeout=240)
+            assert res.error is None
+            assert res.final_stage == 2  # 0.2 score escalates twice
+            # arrival prefetch (tier 1) + chain prefetch (tier 2)
+            assert pipe.get_stats().get("prefetches", 0) == 2
+            assert stages[2].engine.prefix_cache.stats()["hits"] >= 1
+        finally:
+            pipe.shutdown()
+
     def test_prefetch_refs_drain(self):
         pipe, stages = self._pipe(0.2, prefetch=True)
         try:
