@@ -214,8 +214,12 @@ class MockStage:
         self._rng = np.random.default_rng(self.seed)
 
     def _difficulty(self, prompt: str) -> float:
-        # deterministic per-prompt difficulty in [0,1]
-        return (hash(prompt) % 1000) / 1000.0
+        # deterministic per-prompt difficulty in [0,1] — stable across
+        # processes (builtin hash() is salted per interpreter, which made
+        # demo-server routing differ between runs)
+        import zlib
+
+        return (zlib.crc32(prompt.encode()) % 1000) / 1000.0
 
     def generate_text(self, prompts, max_new=256, temperature=0.0, top_p=1.0):
         self.calls += len(prompts)

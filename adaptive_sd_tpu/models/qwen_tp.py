@@ -258,7 +258,11 @@ def make_tp_forward(
 
     ``overlap_collectives``: run the row-parallel sublayer endings as
     ppermute-ring collective matmuls (parallel/overlap.py) instead of
-    matmul-then-psum, hiding the all-reduce under the chunked compute."""
+    matmul-then-psum, hiding the all-reduce under the chunked compute.
+    DECODE ONLY: prefill/prefill_window payloads are [B, S, N], where the
+    zero-padded psum reassembly would multiply ICI traffic by tp and the
+    tp-1 serialized hops sit on a compute-bound path — prefill keeps the
+    plain matmul-then-psum ending regardless of the flag."""
     tp = mesh.shape[axis]
     lspec = local_spec(spec, tp)
     tp_overlap = tp if overlap_collectives else 0
@@ -280,7 +284,7 @@ def make_tp_forward(
                 params_l, lspec, tokens, seq_lens, cache_l, tables,
                 use_pallas=use_pallas, act_quant=act_quant,
                 return_hidden=return_hidden, tp_axis=axis,
-                tp_overlap=tp_overlap,
+                tp_overlap=0,  # ring is decode-only (see docstring)
             )
 
         return run(params, tokens, seq_lens, cache, block_tables)
@@ -339,7 +343,7 @@ def make_tp_forward(
             return qwen.prefill_window(
                 params_l, lspec, tokens_w, offsets, win_lens, cache_l, tables,
                 use_pallas=use_pallas, act_quant=act_quant, tp_axis=axis,
-                tp_overlap=tp_overlap,
+                tp_overlap=0,  # ring is decode-only (see docstring)
             )
 
         return run(params, tokens_w, offsets, win_lens, cache, block_tables)

@@ -92,6 +92,14 @@ def ring_row_parallel(
     Returns the fully-reduced [..., N] output, replicated across the axis
     (same partial sums as ``psum``, ring-order association).
     """
+    actual = lax.axis_size(axis)
+    if tp != actual:
+        # chunk indexing and the hop count derive from ``tp`` while ppermute
+        # uses the real axis — a mismatch would produce silently wrong sums
+        raise ValueError(
+            f"ring_row_parallel: caller tp={tp} != shard_map axis "
+            f"{axis!r} size {actual}"
+        )
     N = _out_dim(w)
     c = N // tp
     me = lax.axis_index(axis)

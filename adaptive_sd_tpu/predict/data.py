@@ -74,11 +74,15 @@ def generate_from_engines(
     """Run the full hierarchy per prompt; label each tier's draft by
     similarity to the last (largest) tier's output.
 
-    ``include_prompt_only`` additionally emits one draft-less row per prompt
-    (stage 0, empty draft, no logprobs) carrying tier 0's label: the
-    speculative-prefetch decision (cascade/scheduled.py _maybe_prefetch)
-    scores ``predict(prompt, "", None, 0)`` at request arrival, and without
-    these rows that call is out-of-distribution for the trained MLP."""
+    ``include_prompt_only`` additionally emits one draft-less row per
+    (prompt, stage) — empty draft, no logprobs, stage k's one-hot — carrying
+    tier k's label. These rows train the PROMPT-CONDITIONAL per-stage
+    estimates the serving plane consumes before a tier has run:
+    * the speculative-prefetch decision (cascade/scheduled.py
+      _maybe_prefetch) scores ``predict(prompt, "", None, k)`` at arrival;
+    * the DP's unvisited-tier priors and the direct-entry decision
+      (cascade/pipeline.py _prompt_priors) score every stage the same way.
+    Without them those calls are out-of-distribution for the trained MLP."""
     samples: list[TrainingSample] = []
     costs = list(costs) if costs is not None else [1.0] * len(engines)
     for prompt in prompts:
@@ -104,16 +108,19 @@ def generate_from_engines(
                     features=feats.tolist(),
                 )
             )
-            if si == 0 and include_prompt_only:
+            if include_prompt_only:
                 samples.append(
                     TrainingSample(
                         prompt=prompt,
-                        stage_index=0,
+                        stage_index=si,
                         draft="",
                         quality=q,
                         label=int(q >= quality_threshold),
+                        # default cost context: matches the serving-side
+                        # ``predictor.predict(prompt, "", None, k)`` calls
+                        # (pipeline._prompt_priors / _maybe_prefetch) exactly
                         features=extract_features(
-                            prompt, "", None, 0, n_stages=len(engines)
+                            prompt, "", None, si, n_stages=len(engines)
                         ).tolist(),
                     )
                 )

@@ -31,6 +31,12 @@ _FACT_RE = re.compile(r"\b(capital|president|year|date|population|define|definit
 
 MAX_STAGES = 8
 
+# Feature-layout anchors (see extract_features): consumers that must recover
+# (stage, has_draft) from a raw feature row — e.g. the predictor's per-stage
+# calibration — read these instead of hardcoding offsets.
+DRAFT_LEN_IDX = 8                 # log1p(len(draft)); 0 iff draft is empty
+STAGE_ONEHOT_START = 38           # one-hot block [38:38+MAX_STAGES]
+
 
 def _text_block(text: str) -> list[float]:
     """8 generic text statistics."""

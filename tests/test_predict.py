@@ -174,6 +174,62 @@ class TestLearnedEmbedding:
         p = m.predict_features(X[:20])
         assert np.all((p >= 0) & (p <= 1))
 
+    def test_per_stage_calibration_groups_and_ece(self):
+        """calibrate=True fits per-(stage, draftless) Platt groups, reports
+        per-group ECE, and the grouped apply path matches a manual logit
+        transform."""
+        from adaptive_sd_tpu.predict.features import extract_features
+        from adaptive_sd_tpu.predict.mlp import _ece
+
+        X, y, _ = generate_synthetic(n_prompts=300, seed=9)
+        # add draft-less rows (stage 0 and 1) so the draftless groups exist
+        rng = np.random.default_rng(0)
+        Xp = np.stack([
+            extract_features(f"prompt {i} " + "w " * int(rng.integers(3, 30)),
+                             "", None, int(i % 2), n_stages=4)
+            for i in range(200)
+        ])
+        yp = (rng.random(200) < 0.6).astype(np.float32)
+        m = MLPQualityPredictor()
+        rep = m.fit(np.vstack([X, Xp]), np.concatenate([y, yp]),
+                    epochs=10, patience=4, calibrate=True)
+        assert rep.calibration_report, "report must list calibration groups"
+        keys = {(r["stage"], r["draftless"]) for r in rep.calibration_report}
+        assert any(dl == 1 for _, dl in keys), "draftless groups present"
+        assert any(dl == 0 for _, dl in keys), "draft groups present"
+        for r in rep.calibration_report:
+            assert set(r) >= {"stage", "draftless", "n", "a", "b",
+                              "ece_before", "ece_after"}
+        # grouped apply matches the manual per-group transform
+        groups = m._groups_of(X[:32])
+        p = m.predict_features(X[:32])
+        m2 = MLPQualityPredictor()
+        m2.params, m2.mean, m2.std = m.params, m.mean, m.std
+        m2._np_cache = None
+        raw = m2.predict_features(X[:32])  # uncalibrated twin
+        for i in range(32):
+            key = (int(groups[i, 0]), int(groups[i, 1]))
+            a, b = m.group_calibration.get(key, m.calibration)
+            z = np.log(np.clip(raw[i], 1e-7, 1 - 1e-7)
+                       / np.clip(1 - raw[i], 1e-7, 1))
+            assert p[i] == pytest.approx(1 / (1 + np.exp(-(a * z + b))), rel=1e-5)
+        # ECE sanity: perfect predictions -> 0, constant-wrong -> large
+        assert _ece(np.array([1.0, 0.0]), np.array([1.0, 0.0])) == 0.0
+        assert _ece(np.ones(100), np.full(100, 0.1)) > 0.8
+
+    def test_group_calibration_save_load(self, tmp_path):
+        X, y, _ = generate_synthetic(n_prompts=200, seed=11)
+        m = MLPQualityPredictor()
+        m.fit(X, y, epochs=8, patience=4, calibrate=True)
+        assert m.group_calibration  # synthetic data has >=20 rows per stage
+        p = str(tmp_path / "cal_pred.npz")
+        m.save(p)
+        m2 = MLPQualityPredictor.load(p)
+        assert m2.group_calibration == m.group_calibration
+        np.testing.assert_allclose(
+            m.predict_features(X[:16]), m2.predict_features(X[:16]), rtol=1e-5
+        )
+
     def test_feature_only_callers_unaffected(self):
         """fit/predict without texts behaves like a dense MLP (zero-masked
         embedding) — the serving fallback path."""
@@ -248,14 +304,16 @@ class TestGenerateFromEngines:
             ["first prompt", "second prompt"], engines, tok, detok,
             max_new=6, costs=[1.0, 4.0],
         )
-        # 2 prompts x (2 stages + 1 prompt-only prefetch row)
-        assert len(samples) == 6
+        # 2 prompts x 2 stages x (draft row + prompt-only row)
+        assert len(samples) == 8
         last = [s for s in samples if s.stage_index == 1]
         assert all(s.quality == 1.0 and s.label == 1 for s in last)
         assert all(len(s.features) == 64 for s in samples)
+        # prompt-only rows (prefetch + prompt-conditional prior scoring)
+        # cover EVERY stage, carrying that stage's label
         prompt_only = [s for s in samples if s.draft == ""]
-        assert len(prompt_only) == 2  # in-distribution prefetch scoring rows
-        assert all(s.stage_index == 0 for s in prompt_only)
+        assert len(prompt_only) == 4
+        assert sorted({s.stage_index for s in prompt_only}) == [0, 1]
 
         plain = generate_from_engines(
             ["first prompt"], engines, tok, detok, max_new=6,
@@ -266,4 +324,4 @@ class TestGenerateFromEngines:
         p = str(tmp_path / "data.json")
         save_samples(samples, p)
         X, y = load_samples(p)
-        assert X.shape == (6, 64) and y.shape == (6,)
+        assert X.shape == (8, 64) and y.shape == (8,)
