@@ -77,8 +77,27 @@ class PipelineConfig:
     # into its prefix cache while tier 0 decodes — the later verify
     # admission then prefills only the draft suffix. Prefetch only fills
     # idle target-tier capacity (never competes with real admissions).
-    enable_prefetch: bool = False
+    enable_prefetch: bool = True
     prefetch_threshold: float = 0.5   # prompt-only p(accept) below this -> prefetch
+    # Chain prefetch (escalations): pre-warm tier nxt+1 while tier nxt works,
+    # scored by tier nxt's OWN prompt-conditional acceptance estimate (NOT
+    # the score of the draft the request just escalated away from — that is
+    # a different, systematically lower quantity that over-prefetches).
+    chain_prefetch_threshold: float = 0.5
+    # Prompt-conditional routing: before any tier runs, the predictor scores
+    # EVERY stage from the prompt alone (draft-less rows — predict/data.py
+    # emits them for all stages at training time). These per-request
+    # estimates replace the global running means as the DP's unvisited-tier
+    # priors ("will tier k solve THIS prompt", not "how often does tier k
+    # solve prompts on average"), and direct_entry lets the first DP
+    # decision choose the ENTRY tier — predicted-hard prompts skip the
+    # small tiers entirely, the oracle-direct behavior a global mean cannot
+    # express. prompt_prior_weight blends toward the running mean (1.0 =
+    # pure prompt-conditional; the per-stage Platt calibration makes the
+    # prompt scores trustworthy enough to use unshunk).
+    prompt_conditional_priors: bool = True
+    prompt_prior_weight: float = 1.0
+    direct_entry: bool = True
 
 
 class AdaptiveCascadePipeline:
@@ -153,34 +172,97 @@ class AdaptiveCascadePipeline:
             return float(w * emp + (1 - w) * self._prior_p[i])
         return float(self._prior_p[i])
 
-    def _decide(self, probs_visited: list[float], lam: float) -> tuple[int, float]:
+    def _prompt_priors(self, prompt: str) -> Optional[np.ndarray]:
+        """Prompt-conditional per-stage acceptance estimates [n_stages]:
+        ``predict(prompt, "", None, k)`` for every stage (the draft-less rows
+        predict/data.py trains, per-stage Platt-calibrated in predict/mlp.py).
+        The last stage is pinned to 1.0 (its answer is final by definition —
+        reference pipeline.py:242 parity). Returns None when disabled or the
+        predictor cannot score prompt-only rows (falls back to running
+        means)."""
+        if not self.config.prompt_conditional_priors:
+            return None
+        n = self.n_stages
+        p = np.ones(n, np.float64)
+        try:
+            for k in range(n - 1):
+                p[k] = float(np.clip(
+                    self.predictor.predict(prompt, "", None, k).quality_score,
+                    0.0, 1.0,
+                ))
+        except Exception:  # noqa: BLE001 — predictor without prompt-only support
+            return None
+        w = self.config.prompt_prior_weight
+        if w < 1.0:
+            blend = np.asarray([self._stage_prior(i) for i in range(n)])
+            p = w * p + (1.0 - w) * blend
+        p[-1] = 1.0
+        return p
+
+    def _entry_tier(self, prompt_priors: Optional[np.ndarray], lam: float) -> int:
+        """Direct entry: run the DP on the prompt-conditional estimates
+        BEFORE any tier executes and skip leading tiers the prompt already
+        rules out (estimate below skip_prior_threshold). A plausible tier is
+        never skipped — it keeps the option value of re-deciding with its
+        own draft in hand. Returns 0 (classic sequential cascade) when
+        disabled or estimates are unavailable."""
+        if prompt_priors is None or not self.config.direct_entry:
+            return 0
+        c_max = max(self.costs[-1], 1e-9)
+        k0, _ = optimal_stopping_rule(
+            prompt_priors, [c / c_max for c in self.costs], lam
+        )
+        e = 0
+        while e < k0 and prompt_priors[e] < self.config.skip_prior_threshold:
+            e += 1
+        return min(e, self.n_stages - 1)
+
+    def _decide(
+        self,
+        probs_visited: list[float],
+        lam: float,
+        prompt_priors: Optional[np.ndarray] = None,
+    ) -> tuple[int, float]:
         """Contiguous-visit wrapper over :meth:`_decide_at` (stages 0..i
         visited in order — the batch path and legacy callers)."""
-        return self._decide_at(list(enumerate(probs_visited)), lam)
+        return self._decide_at(list(enumerate(probs_visited)), lam, prompt_priors)
 
-    def _next_tier(self, i: int, k_star: int) -> int:
+    def _next_tier(
+        self, i: int, k_star: int, prompt_priors: Optional[np.ndarray] = None
+    ) -> int:
         """Escalation target from tier ``i`` given the DP's ``k_star``:
         sequential by default; with allow_tier_skip, hop over intermediate
-        tiers whose running prior is below skip_prior_threshold (they would
-        almost surely escalate again), stopping at the first plausible tier
-        so its own draft can update the decision."""
+        tiers whose prior (prompt-conditional when available, running mean
+        otherwise) is below skip_prior_threshold (they would almost surely
+        escalate again), stopping at the first plausible tier so its own
+        draft can update the decision."""
+        prior = (
+            (lambda t: float(prompt_priors[t]))
+            if prompt_priors is not None
+            else self._stage_prior
+        )
         nxt = i + 1
         if self.config.allow_tier_skip:
             while (
                 nxt < k_star
-                and self._stage_prior(nxt) < self.config.skip_prior_threshold
+                and prior(nxt) < self.config.skip_prior_threshold
             ):
                 nxt += 1
         return min(nxt, self.n_stages - 1)
 
     def _decide_at(
-        self, visited: list[tuple[int, float]], lam: float
+        self,
+        visited: list[tuple[int, float]],
+        lam: float,
+        prompt_priors: Optional[np.ndarray] = None,
     ) -> tuple[int, float]:
         """Stopping decision per configured strategy (reference
         OptimizationConfig.strategy, serving_config.py:26-79):
 
         dp         forward-looking Bellman DP — visited stages use predictor
-                   probs, future stages running priors (default)
+                   probs, unvisited stages the request's prompt-conditional
+                   estimates (``prompt_priors``) when available, running
+                   priors otherwise (default)
         threshold  static theory-derived thresholds (policy/theory.py)
         ucb        online UCB bandit over stages (policy/dp.AdaptiveStopping)
 
@@ -199,7 +281,10 @@ class AdaptiveCascadePipeline:
             if self._ucb.should_explore(min(i + 1, n - 1)) and i < n - 1:
                 return i + 1, 0.0
             return i, 0.0
-        p = [self._stage_prior(idx) for idx in range(n)]
+        if prompt_priors is not None:
+            p = [float(x) for x in prompt_priors]
+        else:
+            p = [self._stage_prior(idx) for idx in range(n)]
         for idx, v in visited:
             p[idx] = v
         # Costs are normalised to max-cumulative = 1 for the DP so lambda ~ 1
@@ -242,7 +327,11 @@ class AdaptiveCascadePipeline:
         failed_stages: list[int] = []
         visited_idx: list[int] = []
         try:
-            i = 0
+            # Prompt-conditional per-stage estimates, computed ONCE per
+            # request: the DP's unvisited-tier priors plus the direct-entry
+            # decision (predicted-hard prompts skip the small tiers).
+            p0 = self._prompt_priors(request.prompt)
+            i = self._entry_tier(p0, lam)
             while i < self.n_stages:
                 stage = self.stages[i]
                 cached = (
@@ -357,7 +446,7 @@ class AdaptiveCascadePipeline:
                     v0 = 0.0
                 else:
                     k_star, v0 = self._decide_at(
-                        list(zip(visited_idx, probs)), lam
+                        list(zip(visited_idx, probs)), lam, p0
                     )
                 dec_time = time.perf_counter() - t_dec
                 stop = k_star <= i or is_last
@@ -391,11 +480,10 @@ class AdaptiveCascadePipeline:
                     )
                     break
                 # Forward-looking escalation: hop over tiers with hopeless
-                # running priors toward the DP's k* (the skipped-to tier
-                # still verifies the current draft speculatively); stop the
-                # hop at the first plausible tier to keep its re-decision
-                # option.
-                i = self._next_tier(i, k_star)
+                # priors toward the DP's k* (the skipped-to tier still
+                # verifies the current draft speculatively); stop the hop at
+                # the first plausible tier to keep its re-decision option.
+                i = self._next_tier(i, k_star, p0)
 
             if self.config.enable_caching:
                 self.cache.truncate_at_stage(request.request_id, final_idx)
@@ -436,20 +524,35 @@ class AdaptiveCascadePipeline:
         active = list(range(n_req))
         probs: list[list[float]] = [[] for _ in range(n_req)]
         raw_probs: list[list[float]] = [[] for _ in range(n_req)]
+        visited_idx: list[list[int]] = [[] for _ in range(n_req)]
         stage_results: list[list[StageResult]] = [[] for _ in range(n_req)]
         finals = [self.n_stages - 1] * n_req
         decisions: list[Optional[OptimizationDecision]] = [None] * n_req
+
+        def lam_of(r: int) -> float:
+            ov = requests[r].lambda_override
+            return ov if ov is not None else self._lam
+
+        # Prompt-conditional estimates + entry/skip pointer per request:
+        # nxt_tier[r] is the tier request r runs next (direct entry at
+        # arrival, then _next_tier hops — tiers the priors rule out are
+        # skipped for that request only, while batch-mates still run them).
+        p0s = [self._prompt_priors(req.prompt) for req in requests]
+        nxt_tier = [self._entry_tier(p0s[r], lam_of(r)) for r in range(n_req)]
 
         drafts: dict[int, Any] = {}
         drafts_q: dict[int, Any] = {}
         for i, stage in enumerate(self.stages):
             if not active:
                 break
+            ready = [r for r in active if nxt_tier[r] <= i]
+            if not ready:
+                continue
             # Group by sampling params: one engine call per identical
             # (max_tokens, temperature, top_p) so no request's settings are
             # overridden by a batch-mate's.
             groups: dict[tuple, list[int]] = {}
-            for r in active:
+            for r in ready:
                 req = requests[r]
                 groups.setdefault(
                     (req.max_tokens, req.temperature, req.top_p), []
@@ -486,12 +589,12 @@ class AdaptiveCascadePipeline:
                     if out.token_ids is not None:
                         drafts[r] = out.token_ids
                         drafts_q[r] = getattr(out, "draft_q", None)
-            outs = [outs_by_r[r] for r in active]
+            outs = [outs_by_r[r] for r in ready]
             is_last = i == self.n_stages - 1
-            still_active = []
-            for out, r in zip(outs, active):
+            stopped = set()
+            for out, r in zip(outs, ready):
                 req = requests[r]
-                lam = req.lambda_override if req.lambda_override is not None else self._lam
+                lam = lam_of(r)
                 if is_last:
                     p_raw, pred = 1.0, None
                 else:
@@ -507,7 +610,10 @@ class AdaptiveCascadePipeline:
                     )
                 )
                 probs[r].append(p_adj)
-                k_star, v0 = self._decide(probs[r], lam)
+                visited_idx[r].append(i)
+                k_star, v0 = self._decide_at(
+                    list(zip(visited_idx[r], probs[r])), lam, p0s[r]
+                )
                 stop = k_star <= i or is_last
                 stage_results[r].append(
                     StageResult(
@@ -525,6 +631,7 @@ class AdaptiveCascadePipeline:
                     self._obs_sum[i] += p_raw
                 if stop:
                     finals[r] = i
+                    stopped.add(r)
                     decisions[r] = OptimizationDecision(
                         selected_stage=i,
                         stop=True,
@@ -535,8 +642,8 @@ class AdaptiveCascadePipeline:
                         rationale=f"DP k*={k_star} at stage {i} (batch)",
                     )
                 else:
-                    still_active.append(r)
-            active = still_active
+                    nxt_tier[r] = self._next_tier(i, k_star, p0s[r])
+            active = [r for r in active if r not in stopped]
 
         latency = time.perf_counter() - t0
         results = []

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import threading
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional, Sequence
 
 import numpy as np
@@ -37,6 +38,7 @@ from ..core.types import ProcessingResult, RequestContext
 
 _PROBE_INTERVAL_S = 10.0
 _EJECT_AFTER = 3  # consecutive failures
+_MAX_FANOUT_WORKERS = 16  # bounded batch fan-out pool
 
 
 class _Replica:
@@ -57,7 +59,8 @@ class _Replica:
 class ReplicaRouter:
     """Least-loaded router over cascade pipeline replicas (one per host/slice)."""
 
-    def __init__(self, replicas: Sequence, *, probe_interval_s: float = _PROBE_INTERVAL_S):
+    def __init__(self, replicas: Sequence, *, probe_interval_s: float = _PROBE_INTERVAL_S,
+                 max_fanout_workers: int = _MAX_FANOUT_WORKERS):
         if not replicas:
             raise ValueError("need at least one replica")
         self._replicas = [_Replica(p, i) for i, p in enumerate(replicas)]
@@ -65,6 +68,13 @@ class ReplicaRouter:
         self._probe_interval_s = probe_interval_s
         self._shutdown = False
         self._rr = 0  # round-robin tiebreak for equal load
+        # bounded fan-out pool for batch_process: at fleet sizes (16+
+        # replicas) unbounded thread-per-bucket spawning churns threads on
+        # every batch; a shared pool caps concurrency and reuses workers
+        self._fanout = ThreadPoolExecutor(
+            max_workers=max(1, min(max_fanout_workers, len(replicas))),
+            thread_name_prefix="router-fanout",
+        )
 
     # ------------------------------------------------------------ selection
     def _pick(self, exclude: Optional[set] = None) -> _Replica:
@@ -148,33 +158,77 @@ class ReplicaRouter:
         raise OptimizationError("all replicas failed") from last_exc
 
     def process_request_async(self, request: RequestContext):
+        """Async routing with REAL load accounting: the replica's inflight
+        count stays raised until the future resolves, and failures feed the
+        health ejection exactly like the sync path."""
         r = self._pick()
-        self._done(r, ok=True)  # load accounting is approximate for async
-        return r.pipeline.process_request_async(request)
+        try:
+            fut = r.pipeline.process_request_async(request)
+        except Exception:
+            self._done(r, ok=False)
+            raise
+
+        def _resolved(f):
+            try:
+                res = f.result()
+                self._done(r, ok=not bool(getattr(res, "error", None)))
+            except Exception:  # noqa: BLE001 — failed future counts against health
+                self._done(r, ok=False)
+
+        fut.add_done_callback(_resolved)
+        return fut
 
     def batch_process(self, requests: Sequence[RequestContext], **kw):
-        # split the batch across healthy replicas round-robin, preserving order
+        # split the batch across healthy replicas round-robin (preserving
+        # order) through the bounded fan-out pool; buckets whose replica
+        # fails are re-dispatched once to the surviving replicas
         with self._lock:
             healthy = [r for r in self._replicas if r.healthy] or self._replicas
         buckets: list[list[tuple[int, RequestContext]]] = [[] for _ in healthy]
         for i, req in enumerate(requests):
             buckets[i % len(healthy)].append((i, req))
         results: list[Optional[ProcessingResult]] = [None] * len(requests)
-        threads = []
 
         def run(r, items):
-            outs = r.pipeline.batch_process([req for _, req in items], **kw)
+            with self._lock:
+                r.inflight += len(items)
+            try:
+                outs = r.pipeline.batch_process([req for _, req in items], **kw)
+                ok = True
+            except Exception:  # noqa: BLE001 — bucket failure -> health + retry
+                ok, outs = False, None
+            with self._lock:
+                r.inflight = max(r.inflight - len(items), 0)
+                if ok:
+                    r.failures = 0
+                else:
+                    r.failures += 1
+                    if r.failures >= _EJECT_AFTER:
+                        r.ejected_at = time.monotonic()
+            if not ok:
+                return items  # unserved, caller re-dispatches
             for (i, _), out in zip(items, outs):
                 results[i] = out
+            return []
 
-        for r, items in zip(healthy, buckets):
-            if not items:
-                continue
-            t = threading.Thread(target=run, args=(r, items), daemon=True)
-            threads.append(t)
-            t.start()
-        for t in threads:
-            t.join()
+        futs = [
+            self._fanout.submit(run, r, items)
+            for r, items in zip(healthy, buckets) if items
+        ]
+        unserved: list[tuple[int, RequestContext]] = []
+        for f in futs:
+            unserved += f.result()
+        if unserved:  # one failover round on the replicas that survived
+            with self._lock:
+                alive = [r for r in self._replicas if r.healthy]
+            if alive:
+                retry = [
+                    self._fanout.submit(run, alive[bi % len(alive)], chunk)
+                    for bi, chunk in enumerate(
+                        [unserved[j::len(alive)] for j in range(len(alive))]
+                    ) if chunk
+                ]
+                unserved = [it for f in retry for it in f.result()]
         missing = [i for i, out in enumerate(results) if out is None]
         if missing:
             raise OptimizationError(f"batch items {missing} not served")
@@ -212,6 +266,7 @@ class ReplicaRouter:
 
     def shutdown(self) -> None:
         self._shutdown = True
+        self._fanout.shutdown(wait=False, cancel_futures=True)
         for r in self._replicas:
             r.pipeline.shutdown()
 

@@ -56,6 +56,7 @@ class _CascadeJob:
     request: RequestContext
     lam: float
     t0: float = field(default_factory=time.perf_counter)
+    prompt_priors: Optional[np.ndarray] = None  # per-stage prompt-only estimates
     probs: list = field(default_factory=list)
     raw_probs: list = field(default_factory=list)
     visited: list = field(default_factory=list)   # stage indices, visit order
@@ -152,35 +153,42 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
             if request.lambda_override is not None
             else self._lam
         )
-        job = _CascadeJob(request=request, lam=lam)
+        # Prompt-conditional estimates once per request: entry-tier choice
+        # (direct entry skips tiers the prompt already rules out), DP priors
+        # for unvisited tiers, and prefetch scoring all read them.
+        p0 = self._prompt_priors(request.prompt)
+        entry = self._entry_tier(p0, lam)
+        job = _CascadeJob(request=request, lam=lam, prompt_priors=p0)
         with self._inflight_lock:
             self._inflight.add(job)
-        self._submit_tier(job, 0, draft=None)
-        if self.config.enable_prefetch and self.n_stages > 1:
-            self._maybe_prefetch(request)
+        self._submit_tier(job, entry, draft=None)
+        if self.config.enable_prefetch and entry + 1 < self.n_stages:
+            score = float(p0[entry]) if p0 is not None else None
+            self._maybe_prefetch(request, tier=entry + 1, score=score)
         return job
 
     def _maybe_prefetch(self, request: RequestContext, tier: int = 1,
-                        score: Optional[float] = None) -> None:
-        """Speculative prefix prefetch: when the predictor score (the
-        PROMPT-ONLY score at arrival; the escalating draft's score for
-        chain prefetches) predicts likely escalation, pre-warm ``tier``'s
-        prefix cache with the prompt while the lower tier works — the
-        eventual verify admission then prefills only the draft suffix.
-        Fire-and-forget into IDLE capacity only; unused pages sit
-        refcount-free in the prefix cache and are evicted first under
-        pressure."""
+                        score: Optional[float] = None,
+                        threshold: Optional[float] = None) -> None:
+        """Speculative prefix prefetch: when the prompt-conditional
+        acceptance estimate of the tier BELOW ``tier`` predicts likely
+        escalation, pre-warm ``tier``'s prefix cache with the prompt while
+        the lower tier works — the eventual verify admission then prefills
+        only the draft suffix. Fire-and-forget into IDLE capacity only;
+        unused pages sit refcount-free in the prefix cache and are evicted
+        first under pressure."""
         if tier >= self.n_stages:
             return
         if score is None:
             try:
                 score = float(
-                    self.predictor.predict(request.prompt, "", None, 0)
+                    self.predictor.predict(request.prompt, "", None, tier - 1)
                     .quality_score
                 )
             except Exception:  # noqa: BLE001 — prefetch is best-effort
                 return
-        if score >= self.config.prefetch_threshold:
+        if score >= (threshold if threshold is not None
+                     else self.config.prefetch_threshold):
             return
         stage = self.stages[tier]
         sched = self.schedulers[tier]
@@ -319,7 +327,7 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
             job.probs.append(p_adj)
             job.visited.append(tier)
             k_star, v0 = self._decide_at(
-                list(zip(job.visited, job.probs)), job.lam
+                list(zip(job.visited, job.probs)), job.lam, job.prompt_priors
             )
             dec_time = time.perf_counter() - t_dec
             stop = k_star <= tier or is_last
@@ -371,16 +379,27 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
                 draft_q = None
                 if draft and job.request.temperature > 0:
                     draft_q = output.draft_q
-                nxt = self._next_tier(tier, k_star)
+                nxt = self._next_tier(tier, k_star, job.prompt_priors)
                 self._submit_tier(job, nxt, draft=draft, draft_q=draft_q)
                 # Chain prefetch: a request already proven harder than tier
                 # `tier` thought may escalate again — pre-warm the tier
-                # after the one it just entered, gated by the same
-                # threshold on the draft-informed score that triggered
-                # this escalation (idle capacity only, best-effort).
+                # after the one it just entered, scored by tier ``nxt``'s
+                # OWN prompt-conditional acceptance estimate against the
+                # dedicated chain threshold (NOT the rejected draft's score:
+                # that is a systematically lower quantity that would
+                # over-prefetch on every escalation). Idle capacity only,
+                # best-effort.
                 if self.config.enable_prefetch:
-                    self._maybe_prefetch(job.request, tier=nxt + 1,
-                                         score=p_raw)
+                    p0 = job.prompt_priors
+                    chain_score = (
+                        float(p0[nxt])
+                        if p0 is not None and nxt + 1 < self.n_stages
+                        else None
+                    )
+                    self._maybe_prefetch(
+                        job.request, tier=nxt + 1, score=chain_score,
+                        threshold=self.config.chain_prefetch_threshold,
+                    )
         except Exception as exc:  # noqa: BLE001 - jobs must resolve, not hang
             self._finalize(job, error=f"{type(exc).__name__}: {exc}")
 

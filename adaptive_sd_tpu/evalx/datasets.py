@@ -29,6 +29,9 @@ from __future__ import annotations
 import json
 import pathlib
 import re
+import subprocess
+import sys
+import textwrap
 from typing import Optional, Sequence
 
 from .sweep import EvalSample
@@ -74,6 +77,17 @@ def load_samples(name: str, n: Optional[int] = None,
 # objective scoring
 
 _NUM_RE = re.compile(r"-?\d+(?:\.\d+)?")
+# explicit answer declarations beat incidental numbers/letters in prose
+_DECL_NUM_RE = re.compile(
+    r"(?:answer|result|total|remainder|final(?:\s+number)?)\s*(?:is|=|:)?\s*"
+    r"\$?(-?\d[\d,]*(?:\.\d+)?)",
+    re.I,
+)
+_DECL_LETTER_RE = re.compile(
+    r"(?:answer|option|choice)\s*(?:is|=|:)?\s*\(?([A-D])\)?\b", re.I
+)
+_LETTER_RE = re.compile(r"(?<![A-Za-z])\(?([A-D])\)?(?![A-Za-z])")
+_NEGATED_LETTER_RE = re.compile(r"\bnot\s+\(?([A-D])\)?\b", re.I)
 
 
 def _last_number(text: str) -> Optional[float]:
@@ -81,9 +95,19 @@ def _last_number(text: str) -> Optional[float]:
     return float(nums[-1]) if nums else None
 
 
+def _declared_number(text: str) -> Optional[float]:
+    decls = _DECL_NUM_RE.findall(text)
+    return float(decls[-1].replace(",", "")) if decls else None
+
+
 def score_math(candidate: str, answer: str) -> float:
-    """1.0 iff the candidate's final number equals the exact answer."""
-    got = _last_number(candidate)
+    """1.0 iff the candidate's answer equals the exact target. An explicit
+    declaration ("the answer is 42") wins over incidental numbers; otherwise
+    the FINAL number is the claim (models conclude with their answer, and
+    work-showing puts intermediates first)."""
+    got = _declared_number(candidate)
+    if got is None:
+        got = _last_number(candidate)
     want = _last_number(answer)
     if got is None or want is None:
         return 0.0
@@ -91,44 +115,79 @@ def score_math(candidate: str, answer: str) -> float:
 
 
 def score_choice(candidate: str, item: dict) -> float:
-    """Multiple choice: accept the correct option letter (A-D) or the
-    correct option's text; reject if a WRONG letter is the clearer claim."""
+    """Multiple choice. Precedence (hardened against adversarial prose —
+    "not A; the answer is B", restated wrong options, letters inside words):
+
+    1. an explicit declaration ("answer/option/choice is X") — last one wins;
+    2. otherwise the LAST standalone letter token, skipping negated ones
+       ("not A");
+    3. otherwise a UNIQUE option-text match (two option texts quoted -> 0).
+    """
     cand = candidate.strip()
     correct_letter = item["answer"].strip().upper()
-    letters = re.findall(r"\b([A-D])\b", cand.upper())
+    decls = _DECL_LETTER_RE.findall(cand)
+    if decls:
+        return float(decls[-1].upper() == correct_letter)
+    negated = {m.upper() for m in _NEGATED_LETTER_RE.findall(cand)}
+    letters = [m.upper() for m in _LETTER_RE.findall(cand)
+               if m.upper() not in negated]
     if letters:
-        return float(letters[0] == correct_letter)
-    correct_text = item["options"][ord(correct_letter) - ord("A")].lower()
-    return float(correct_text in cand.lower())
+        return float(letters[-1] == correct_letter)
+    low = cand.lower()
+    matches = [j for j, opt in enumerate(item["options"]) if opt.lower() in low]
+    if len(matches) == 1:
+        return float(matches[0] == ord(correct_letter) - ord("A"))
+    return 0.0
 
 
-def _run_code_tests(code: str, tests: Sequence[str], entry: str) -> float:
-    """Execute candidate code + asserts in a restricted namespace; returns
-    the fraction of tests passing. No imports, no file/network access."""
-    safe_builtins = {
-        k: __builtins__[k] if isinstance(__builtins__, dict) else getattr(__builtins__, k)
-        for k in (
-            "abs", "all", "any", "bool", "dict", "enumerate", "filter",
-            "float", "int", "len", "list", "map", "max", "min", "range",
-            "reversed", "round", "set", "sorted", "str", "sum", "tuple",
-            "zip", "isinstance", "ValueError", "TypeError", "Exception",
-        )
-    }
-    ns: dict = {"__builtins__": safe_builtins}
+_RUNNER = textwrap.dedent("""
+    import json, sys
+    payload = json.loads(sys.stdin.read())
+    safe = {k: __builtins__[k] if isinstance(__builtins__, dict)
+            else getattr(__builtins__, k)
+            for k in ("abs", "all", "any", "bool", "chr", "dict", "enumerate",
+                      "filter", "float", "int", "len", "list", "map", "max",
+                      "min", "ord", "range", "reversed", "round", "set",
+                      "sorted", "str", "sum", "tuple", "zip", "isinstance",
+                      "ValueError", "TypeError", "Exception", "AssertionError")}
+    ns = {"__builtins__": safe}
     try:
-        exec(compile(code, "<candidate>", "exec"), ns)  # noqa: S102
-    except Exception:  # noqa: BLE001
-        return 0.0
-    if entry not in ns:
-        return 0.0
+        exec(compile(payload["code"], "<candidate>", "exec"), ns)
+    except Exception:
+        print(json.dumps({"rate": 0.0})); sys.exit(0)
+    if payload["entry"] not in ns:
+        print(json.dumps({"rate": 0.0})); sys.exit(0)
     passed = 0
-    for t in tests:
+    for t in payload["tests"]:
         try:
-            exec(compile(t, "<test>", "exec"), ns)  # noqa: S102
+            exec(compile(t, "<test>", "exec"), ns)
             passed += 1
-        except Exception:  # noqa: BLE001
+        except Exception:
             pass
-    return passed / max(len(tests), 1)
+    print(json.dumps({"rate": passed / max(len(payload["tests"]), 1)}))
+""")
+
+
+def _run_code_tests(code: str, tests: Sequence[str], entry: str,
+                    timeout_s: float = 10.0) -> float:
+    """Execute candidate code + asserts in a SUBPROCESS with a restricted
+    builtins namespace and a hard wall-clock timeout; returns the fraction
+    of tests passing. The subprocess contains side effects a model's code
+    can have that an in-process exec cannot survive: infinite loops
+    (timeout kills them), sys.exit, recursion blowups, allocator abuse."""
+    try:
+        proc = subprocess.run(
+            # -S skips site/sitecustomize (this env's sitecustomize imports
+            # jax at EVERY interpreter start — seconds per scored item)
+            [sys.executable, "-S", "-c", _RUNNER],
+            input=json.dumps({"code": code, "tests": list(tests),
+                              "entry": entry}),
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return float(json.loads(proc.stdout.strip() or '{"rate": 0}')["rate"])
+    except (subprocess.TimeoutExpired, json.JSONDecodeError,
+            ValueError, KeyError):
+        return 0.0
 
 
 def score_code(candidate: str, item: dict) -> float:

@@ -388,7 +388,10 @@ class TestBatchSpeculativeEscalation:
 
         pipe = AdaptiveCascadePipeline(
             StageManager(stages), Pessimist(),
-            PipelineConfig(lam=0.01, enable_caching=False, max_new_tokens=6),
+            # direct_entry off: this test exercises the escalation verify
+            # path (a 0.0 prompt score would otherwise enter tier 1 directly)
+            PipelineConfig(lam=0.01, enable_caching=False, max_new_tokens=6,
+                           direct_entry=False),
         )
         reqs = [RequestContext(prompt=f"bp {i}", max_tokens=6) for i in range(3)]
         outs = pipe.batch_process(reqs)
@@ -451,7 +454,8 @@ class TestReviewRegressions:
                 return PredictionResult(quality_score=0.0)
 
         pipe = AdaptiveCascadePipeline(
-            stages, Pessimist(), PipelineConfig(lam=0.01, enable_caching=False)
+            stages, Pessimist(),
+            PipelineConfig(lam=0.01, enable_caching=False, direct_entry=False),
         )
         res = pipe.process_request(RequestContext(prompt="will fail late"))
         assert not res.succeeded
@@ -547,9 +551,13 @@ class TestTierSkip:
     def _cfg(self, skip):
         # stage-1 prior is hopeless, stage-2 strong: from stage 0 the DP's
         # k* lands on 2 directly
+        # prompt-conditional priors off: these tests isolate the
+        # RUNNING-prior skip logic (prompt-conditional routing has its own
+        # tests in TestPromptConditionalRouting)
         return PipelineConfig(
             lam=0.3, enable_caching=False, allow_tier_skip=skip,
             prior_quality=(0.6, 0.05, 0.97), risk_alpha=1e-6, risk_beta=1e-6,
+            prompt_conditional_priors=False,
         )
 
     def test_skip_jumps_over_hopeless_tier(self):
@@ -605,3 +613,149 @@ class TestTierSkip:
             assert [sr.stage_index for sr in res.stage_results] == [0, 2]
         finally:
             pipe.shutdown()
+
+
+class TestPromptConditionalRouting:
+    """Prompt-conditional per-stage priors + direct entry
+    (PipelineConfig.prompt_conditional_priors / direct_entry): the predictor
+    scores every stage from the prompt alone before any tier runs; the DP's
+    unvisited-tier priors become per-request, and predicted-hard prompts
+    enter the cascade above tier 0."""
+
+    class _PromptAware:
+        """Prompt-only calls (draft == "") score per stage; draft calls score
+        the visited tier's own output."""
+
+        def __init__(self, prompt_scores, draft_scores=None):
+            self.prompt_scores = prompt_scores
+            self.draft_scores = draft_scores or prompt_scores
+
+        def predict(self, prompt, draft, logprobs, stage):
+            from adaptive_sd_tpu.core.types import PredictionResult
+
+            table = self.prompt_scores if draft == "" else self.draft_scores
+            return PredictionResult(quality_score=table[stage])
+
+    def _stages(self):
+        return StageManager([
+            MockStage("s0", cost_per_token=1.0, capacity=0.99),
+            MockStage("s1", cost_per_token=2.0, capacity=0.99),
+            MockStage("s2", cost_per_token=4.0, capacity=0.99),
+        ])
+
+    def test_prompt_priors_shape_and_pinning(self):
+        pipe = AdaptiveCascadePipeline(
+            self._stages(), self._PromptAware([0.3, 0.6, 0.1]),
+            PipelineConfig(enable_caching=False),
+        )
+        p0 = pipe._prompt_priors("any prompt")
+        assert p0 is not None and p0.shape == (3,)
+        assert p0[0] == pytest.approx(0.3) and p0[1] == pytest.approx(0.6)
+        assert p0[-1] == 1.0  # last stage pinned: its answer is final
+
+    def test_prompt_prior_weight_blends_running_mean(self):
+        pipe = AdaptiveCascadePipeline(
+            self._stages(), self._PromptAware([0.0, 0.0, 0.0]),
+            PipelineConfig(enable_caching=False, prompt_prior_weight=0.5),
+        )
+        p0 = pipe._prompt_priors("any prompt")
+        # 0.5 * 0.0 + 0.5 * configured prior (0.7 / 0.8)
+        assert p0[0] == pytest.approx(0.5 * pipe._stage_prior(0))
+        assert p0[-1] == 1.0
+
+    def test_prompt_priors_fallback_on_predictor_error(self):
+        class NoPromptOnly:
+            def predict(self, prompt, draft, logprobs, stage):
+                if draft == "":
+                    raise ValueError("no prompt-only support")
+                from adaptive_sd_tpu.core.types import PredictionResult
+
+                return PredictionResult(quality_score=0.9)
+
+        pipe = AdaptiveCascadePipeline(
+            self._stages(), NoPromptOnly(), PipelineConfig(enable_caching=False)
+        )
+        assert pipe._prompt_priors("x") is None
+        # and the request path still works via running priors
+        res = pipe.process_request(RequestContext(prompt="still works"))
+        assert res.error is None
+
+    def test_direct_entry_skips_hopeless_tier0(self):
+        """Prompt says tier 0 (and 1) cannot solve this: enter at tier 2
+        directly — no tier-0/1 work at all (oracle-direct behavior)."""
+        pipe = AdaptiveCascadePipeline(
+            self._stages(), self._PromptAware([0.05, 0.1, 0.2],
+                                              [0.05, 0.1, 0.9]),
+            PipelineConfig(lam=0.05, enable_caching=False),
+        )
+        res = pipe.process_request(RequestContext(prompt="very hard proof"))
+        assert res.error is None
+        assert [sr.stage_index for sr in res.stage_results] == [2]
+
+    def test_plausible_tier_never_skipped_at_entry(self):
+        """A tier the prompt rates above skip_prior_threshold keeps its
+        re-decision option: entry stops there even when the DP's k* is
+        higher."""
+        pipe = AdaptiveCascadePipeline(
+            self._stages(), self._PromptAware([0.1, 0.6, 0.3],
+                                              [0.1, 0.9, 0.9]),
+            PipelineConfig(lam=0.05, enable_caching=False),
+        )
+        res = pipe.process_request(RequestContext(prompt="medium task"))
+        assert res.error is None
+        assert res.stage_results[0].stage_index == 1  # entered at tier 1
+
+    def test_easy_prompt_enters_tier0(self):
+        pipe = AdaptiveCascadePipeline(
+            self._stages(), self._PromptAware([0.9, 0.95, 0.99]),
+            # neutralise the cold-start Bayesian shrinkage (risk prior pulls
+            # the first request's score to 0.5) — this test isolates entry
+            PipelineConfig(lam=1.0, enable_caching=False,
+                           risk_alpha=1e-6, risk_beta=1e-6),
+        )
+        pipe._obs_n[:] = 1000  # warm: n=0 Bayesian shrinkage pins p_adj=0.5
+        res = pipe.process_request(RequestContext(prompt="easy question"))
+        assert res.error is None
+        assert [sr.stage_index for sr in res.stage_results] == [0]
+
+    def test_unvisited_priors_are_prompt_conditional(self):
+        """_decide_at consumes the request's prompt estimates for unvisited
+        stages: the same visited evidence routes differently under different
+        prompt profiles."""
+        pipe = AdaptiveCascadePipeline(
+            self._stages(), self._PromptAware([0.5, 0.5, 0.5]),
+            PipelineConfig(lam=0.3, enable_caching=False),
+        )
+        visited = [(0, 0.4)]
+        k_easy, _ = pipe._decide_at(visited, 0.3, np.asarray([0.4, 0.9, 1.0]))
+        k_hard, _ = pipe._decide_at(visited, 0.3, np.asarray([0.4, 0.05, 1.0]))
+        assert k_easy == 1   # promising tier 1 is worth the hop
+        assert k_hard == 2   # hopeless tier 1: plan straight for the top
+
+    def test_batch_direct_entry_mixed(self):
+        """batch_process: per-request entry tiers — an easy batch-mate runs
+        tier 0 while a hard one enters above it."""
+
+        class PerPrompt:
+            def predict(self, prompt, draft, logprobs, stage):
+                from adaptive_sd_tpu.core.types import PredictionResult
+
+                hard = "hard" in prompt
+                if draft == "":
+                    q = [0.05, 0.1, 0.3][stage] if hard else [0.9, 0.95, 0.99][stage]
+                else:
+                    q = 0.9
+                return PredictionResult(quality_score=q)
+
+        pipe = AdaptiveCascadePipeline(
+            self._stages(), PerPrompt(),
+            PipelineConfig(lam=1.0, enable_caching=False,
+                           risk_alpha=1e-6, risk_beta=1e-6),
+        )
+        pipe._obs_n[:] = 1000  # warm: n=0 Bayesian shrinkage pins p_adj=0.5
+        outs = pipe.batch_process([
+            RequestContext(prompt="easy thing", max_tokens=6),
+            RequestContext(prompt="hard proof", max_tokens=6),
+        ])
+        assert [sr.stage_index for sr in outs[0].stage_results] == [0]
+        assert outs[1].stage_results[0].stage_index == 2

@@ -194,8 +194,8 @@ class TestFrozenDatasets:
     def test_all_suites_load(self):
         from adaptive_sd_tpu.evalx import load_samples
 
-        for name, min_n in [("factual-qa", 30), ("gsm-style", 90),
-                            ("humaneval-style", 8)]:
+        for name, min_n in [("factual-qa", 100), ("gsm-style", 200),
+                            ("humaneval-style", 50)]:
             ss = load_samples(name)
             assert len(ss) >= min_n
             assert all(s.prompt and s.reference for s in ss)
@@ -244,6 +244,93 @@ class TestFrozenDatasets:
         with open(pathlib.Path(DATA_DIR) / "gsm_style.json") as f:
             frozen = json.load(f)
         assert bd.build_gsm() == frozen
+
+
+class TestAdversarialScoring:
+    """Scorer hardening (VERDICT r2 missing #6): the failure modes a real
+    model's prose produces — wrong-letter-in-prose, multiple numbers,
+    negations, side-effectful code — must not fool the objective scorers."""
+
+    def _choice_item(self):
+        return {"task": "factual", "answer": "B",
+                "options": ["Sydney", "Canberra", "Melbourne", "Perth"]}
+
+    def test_choice_declaration_beats_earlier_letters(self):
+        from adaptive_sd_tpu.evalx.datasets import score_choice
+
+        it = self._choice_item()
+        assert score_choice("A is tempting, but the answer is B", it) == 1.0
+        assert score_choice("B looks right at first; the answer is A", it) == 0.0
+
+    def test_choice_negation_skipped(self):
+        from adaptive_sd_tpu.evalx.datasets import score_choice
+
+        it = self._choice_item()
+        assert score_choice("not A. B", it) == 1.0
+        assert score_choice("It is not B", it) == 0.0
+
+    def test_choice_last_letter_wins_without_declaration(self):
+        from adaptive_sd_tpu.evalx.datasets import score_choice
+
+        it = self._choice_item()
+        assert score_choice("Could be A or C... no: B", it) == 1.0
+        assert score_choice("(B)", it) == 1.0
+        assert score_choice("B) Canberra", it) == 1.0
+
+    def test_choice_ambiguous_option_text_scores_zero(self):
+        from adaptive_sd_tpu.evalx.datasets import score_choice
+
+        it = self._choice_item()
+        # two option texts restated, no letter claim: ambiguous -> 0
+        assert score_choice("Sydney and Canberra are both large", it) == 0.0
+        # unique correct text -> 1
+        assert score_choice("the capital is canberra", it) == 1.0
+        # unique WRONG text -> 0
+        assert score_choice("the capital is sydney", it) == 0.0
+        # letters inside words must not count
+        assert score_choice("CAnBerra area", it) == 1.0
+
+    def test_math_declaration_beats_trailing_numbers(self):
+        from adaptive_sd_tpu.evalx.datasets import score_math
+
+        assert score_math("The answer is 42 (definitely not 41)", "42") == 1.0
+        assert score_math("6 * 7 = 42. So the answer is 42.", "42") == 1.0
+        assert score_math("Step 1: 40. Step 2: add 2 -> 42", "42") == 1.0
+        assert score_math("The answer is 41; 42 was a red herring", "42") == 0.0
+        assert score_math("answer: 1,234", "1234") == 1.0
+        assert score_math("no numbers here", "42") == 0.0
+
+    def test_code_infinite_loop_times_out(self):
+        from adaptive_sd_tpu.evalx.datasets import _run_code_tests
+
+        rate = _run_code_tests(
+            "def f(x):\n    while True:\n        pass",
+            ["assert f(1) == 1"], "f", timeout_s=3.0,
+        )
+        assert rate == 0.0
+
+    def test_code_cannot_import_or_open(self):
+        from adaptive_sd_tpu.evalx.datasets import _run_code_tests
+
+        rate = _run_code_tests(
+            "import os\ndef f(x):\n    return x",
+            ["assert f(1) == 1"], "f",
+        )
+        assert rate == 0.0
+        rate = _run_code_tests(
+            "def f(x):\n    open('/tmp/evil', 'w')\n    return x",
+            ["assert f(1) == 1"], "f",
+        )
+        assert rate == 0.0
+
+    def test_code_partial_credit(self):
+        from adaptive_sd_tpu.evalx.datasets import _run_code_tests
+
+        rate = _run_code_tests(
+            "def f(x):\n    return abs(x)",
+            ["assert f(2) == 2", "assert f(-2) == 2", "assert f(0) == 1"], "f",
+        )
+        assert abs(rate - 2 / 3) < 1e-9
 
 
 class TestWorkload:

@@ -213,3 +213,152 @@ class TestDisjointSliceReplicas:
             assert sum(per) == 4 and all(p > 0 for p in per)
         finally:
             router.shutdown()
+
+
+class TestFleetHardening:
+    """Round-3 hardening: bounded fan-out pool, real async load accounting,
+    and an 8-replica fleet with one flapping member."""
+
+    class Flapping:
+        """Fails every call (batch and single) — a persistently sick host."""
+
+        def __init__(self):
+            self.calls = 0
+            self.stages = StageManager([MockStage(name="flap")])
+            self.costs = [1.0]
+
+        def process_request(self, request, **kw):
+            self.calls += 1
+            raise RuntimeError("host flapping")
+
+        def batch_process(self, requests, **kw):
+            self.calls += 1
+            raise RuntimeError("host flapping")
+
+        def get_stats(self):
+            return {"total_requests": 0}
+
+        def update_lambda(self, lam):
+            pass
+
+        def reset_stats(self):
+            pass
+
+        def shutdown(self):
+            pass
+
+    def _fleet(self, n=8, flappers=(3,)):
+        pipes = [
+            self.Flapping() if i in flappers else _mock_pipeline(f"r{i}")
+            for i in range(n)
+        ]
+        return ReplicaRouter(pipes, probe_interval_s=60.0), pipes
+
+    def test_batch_redispatches_around_flapping_replica(self):
+        router, pipes = self._fleet()
+        reqs = [RequestContext(prompt=f"fleet item {i}", request_id=f"f{i}")
+                for i in range(24)]
+        outs = router.batch_process(reqs)
+        assert len(outs) == 24 and all(o is not None for o in outs)
+        # order preserved
+        assert [o.request_id for o in outs] == [f"f{i}" for i in range(24)]
+        # every inflight counter drained
+        assert all(r.inflight == 0 for r in router._replicas)
+        # the flapper took (at least) one failure
+        assert pipes[3].calls >= 1
+
+    def test_flapper_ejected_after_repeated_batches(self):
+        router, _ = self._fleet()
+        for _ in range(3):
+            router.batch_process(
+                [RequestContext(prompt=f"x {i}") for i in range(8)]
+            )
+        assert router._replicas[3].ejected_at is not None
+        # subsequent batches never touch it
+        healthy_before = [r.index for r in router._replicas if r.healthy]
+        assert 3 not in healthy_before
+
+    def test_async_load_accounting_waits_for_completion(self):
+        """process_request_async holds the inflight count until the future
+        resolves (round-2 advisor: immediate decrement skewed least-loaded
+        routing)."""
+        release = threading.Event()
+
+        class Slow:
+            def __init__(self):
+                self.stages = StageManager([MockStage(name="slow")])
+                self.costs = [1.0]
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._ex = ThreadPoolExecutor(max_workers=2)
+
+            def process_request_async(self, request, **kw):
+                def work():
+                    release.wait(5.0)
+                    from adaptive_sd_tpu.core.types import ProcessingResult
+
+                    return ProcessingResult(
+                        request_id=request.request_id, text="ok",
+                        final_stage=0, final_stage_name="slow",
+                        total_latency_s=0.0, total_cost=1.0,
+                    )
+
+                return self._ex.submit(work)
+
+            def get_stats(self):
+                return {"total_requests": 0}
+
+            def update_lambda(self, lam):
+                pass
+
+            def reset_stats(self):
+                pass
+
+            def shutdown(self):
+                self._ex.shutdown(wait=False)
+
+        router = ReplicaRouter([Slow(), Slow()])
+        f1 = router.process_request_async(RequestContext(prompt="a"))
+        f2 = router.process_request_async(RequestContext(prompt="b"))
+        # both replicas busy while the futures are outstanding
+        assert sorted(r.inflight for r in router._replicas) == [1, 1]
+        release.set()
+        f1.result(timeout=5)
+        f2.result(timeout=5)
+        time.sleep(0.05)  # done-callbacks fire on the worker threads
+        assert all(r.inflight == 0 for r in router._replicas)
+
+    def test_async_failure_counts_against_health(self):
+        class AsyncFail:
+            def __init__(self):
+                self.stages = StageManager([MockStage(name="af")])
+                self.costs = [1.0]
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._ex = ThreadPoolExecutor(max_workers=1)
+
+            def process_request_async(self, request, **kw):
+                def boom():
+                    raise RuntimeError("async down")
+
+                return self._ex.submit(boom)
+
+            def get_stats(self):
+                return {"total_requests": 0}
+
+            def update_lambda(self, lam):
+                pass
+
+            def reset_stats(self):
+                pass
+
+            def shutdown(self):
+                self._ex.shutdown(wait=False)
+
+        router = ReplicaRouter([AsyncFail()])
+        for _ in range(3):
+            f = router.process_request_async(RequestContext(prompt="x"))
+            with pytest.raises(RuntimeError):
+                f.result(timeout=5)
+            time.sleep(0.05)
+        assert router._replicas[0].ejected_at is not None

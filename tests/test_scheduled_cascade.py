@@ -588,10 +588,14 @@ class TestSpeculativePrefetch:
                                           cost_per_token=float(i * 3 + 1)))
         pipe = ScheduledCascadePipeline(
             StageManager(stages), FixedPredictor(predictor_q),
+            # direct_entry off: these tests exercise the tier-0 -> tier-1
+            # prefetch/escalation machinery, which a 0.2 prompt score would
+            # otherwise bypass by entering tier 1 directly
             PipelineConfig(lam=0.01, enable_caching=False,
                            min_draft_quality_for_verify=0.0,
                            enable_prefetch=prefetch,
-                           prefetch_threshold=threshold),
+                           prefetch_threshold=threshold,
+                           direct_entry=False),
             max_batch=4, max_context=256,
         )
         return pipe, stages
@@ -631,9 +635,9 @@ class TestSpeculativePrefetch:
             pipe.shutdown()
 
     def test_chain_prefetch_warms_third_tier(self):
-        """An escalation to tier 1 chain-prefetches tier 2 (gated by the
-        escalating draft's score), so the second escalation's verify
-        admission also reuses the prompt pages."""
+        """An escalation to tier 1 chain-prefetches tier 2 (scored by tier
+        1's own prompt-conditional acceptance estimate), so the second
+        escalation's verify admission also reuses the prompt pages."""
         stages = []
         for i, name in enumerate(["small", "mid", "large"]):
             params = init_params(TINY, jax.random.key(i + 1), dtype=jnp.float32)
@@ -643,9 +647,12 @@ class TestSpeculativePrefetch:
                                           cost_per_token=float(i * 3 + 1)))
         pipe = ScheduledCascadePipeline(
             StageManager(stages), FixedPredictor(0.2),
+            # sequential walk isolated from prompt-conditional routing: a
+            # 0.2 prompt score would otherwise direct-enter / skip to tier 2
             PipelineConfig(lam=0.01, enable_caching=False,
                            min_draft_quality_for_verify=0.0,
-                           enable_prefetch=True),
+                           enable_prefetch=True,
+                           prompt_conditional_priors=False),
             max_batch=4, max_context=256,
         )
         try:
@@ -670,3 +677,53 @@ class TestSpeculativePrefetch:
         finally:
             pipe.shutdown()
         assert stages[1].engine.prefix_cache.stats()["held_refs"] == 0
+
+
+class TestScheduledDirectEntry:
+    """Prompt-conditional direct entry on the scheduled plane: a prompt the
+    predictor rates hopeless for tier 0 joins tier 1's lanes directly."""
+
+    def _pipe(self, prompt_scores):
+        class PromptAware:
+            def predict(self, prompt, draft, logprobs, stage):
+                from adaptive_sd_tpu.core.types import PredictionResult
+
+                q = prompt_scores[stage] if draft == "" else 0.9
+                return PredictionResult(quality_score=q)
+
+        stages = []
+        for i, name in enumerate(["small", "large"]):
+            params = init_params(TINY, jax.random.key(i + 1), dtype=jnp.float32)
+            eng = TierEngine(TINY, params, page_size=PAGE, n_pages=128,
+                             use_pallas=False)
+            stages.append(EngineTextStage(eng, _tok, _detok, name=name,
+                                          cost_per_token=float(i * 3 + 1)))
+        pipe = ScheduledCascadePipeline(
+            StageManager(stages), PromptAware(),
+            PipelineConfig(lam=1.0, enable_caching=False,
+                           risk_alpha=1e-6, risk_beta=1e-6),
+            max_batch=2, max_context=128,
+        )
+        pipe._obs_n[:] = 1000  # neutralise cold-start Bayesian shrinkage
+        return pipe
+
+    def test_hard_prompt_enters_tier1_directly(self):
+        pipe = self._pipe([0.05, 0.3])
+        try:
+            res = pipe.process_request(
+                RequestContext(prompt="impossible for the draft tier",
+                               max_tokens=6), timeout=120)
+            assert res.error is None
+            assert [sr.stage_index for sr in res.stage_results] == [1]
+        finally:
+            pipe.shutdown()
+
+    def test_easy_prompt_enters_tier0(self):
+        pipe = self._pipe([0.9, 0.95])
+        try:
+            res = pipe.process_request(
+                RequestContext(prompt="trivial", max_tokens=6), timeout=120)
+            assert res.error is None
+            assert [sr.stage_index for sr in res.stage_results] == [0]
+        finally:
+            pipe.shutdown()
