@@ -19,6 +19,7 @@ from .quality import (
     reasoning_score,
     rouge_l,
     rouge_n,
+    soft_token_f1,
     token_f1,
 )
 from .stats import (

@@ -5,14 +5,17 @@ Role parity: reference ``src/evaluation/quality_metrics.py``
 ROUGE-1/2/L, BERTScore, METEOR, length/coherence heuristics, task-specific
 scores — math accuracy, factual consistency, reasoning, creativity — and a
 weighted aggregate). Implemented self-contained (no HF ``evaluate`` in this
-image); BERTScore is approximated by a token-embedding-free greedy soft-F1
-("bertscore_f1" reports token-level F1 here and is labelled as such).
+image); BERTScore keeps the real BERTScore ALGORITHM — per-token embeddings +
+greedy max-cosine alignment -> P/R/F1 — over hashed char-n-gram subword
+embeddings in place of a pretrained LM (``soft_token_f1``; exact bag-of-words
+F1 remains in ``details["token_f1"]``).
 """
 
 from __future__ import annotations
 
 import math
 import re
+import zlib
 from collections import Counter
 from typing import Optional, Sequence
 
@@ -84,10 +87,62 @@ def rouge_l(candidate: str, reference: str) -> float:
 
 
 def token_f1(candidate: str, reference: str) -> float:
-    """Bag-of-words F1 (SQuAD-style) — stands in for BERTScore-F1 off-line."""
+    """Bag-of-words F1 (SQuAD-style)."""
     c, r = Counter(_tokens(candidate)), Counter(_tokens(reference))
     overlap = sum(min(v, r[t]) for t, v in c.items())
     return _f1(overlap, sum(c.values()), sum(r.values()))
+
+
+# --- BERTScore-shaped soft matching -----------------------------------------
+# The reference scores with real BERTScore (pretrained-LM token embeddings +
+# greedy max-cosine alignment, src/evaluation/quality_metrics.py). This image
+# has no pretrained LM, so we keep the ALGORITHM — per-token embeddings,
+# greedy max-similarity alignment, precision/recall/F1 — over hashed
+# character-n-gram embeddings (fastText-style subwords): morphologically
+# close tokens ("run"/"running", "Tokyo"/"Tokyo's") score high without exact
+# match. Labelled soft_token_f1; exact-match token_f1 stays in details.
+
+_EMB_DIM = 64
+_VEC_CACHE: dict = {}
+
+
+def _token_vec(tok: str):
+    import numpy as _np
+
+    cached = _VEC_CACHE.get(tok)
+    if cached is not None:
+        return cached
+    grams = [tok]
+    padded = f"<{tok}>"
+    for n in (3, 4, 5):
+        grams += [padded[i : i + n] for i in range(max(len(padded) - n + 1, 0))]
+    v = _np.zeros(_EMB_DIM, _np.float32)
+    for g in grams:
+        h = zlib.crc32(g.encode())  # stable across processes (str hash isn't)
+        v[h % _EMB_DIM] += 1.0 if (h >> 16) & 1 else -1.0
+    n = float(_np.linalg.norm(v))
+    out = v / n if n > 0 else v
+    if len(_VEC_CACHE) < 200_000:
+        _VEC_CACHE[tok] = out
+    return out
+
+
+def soft_token_f1(candidate: str, reference: str) -> float:
+    """Greedy max-cosine token alignment F1 (BERTScore recipe) over hashed
+    char-n-gram subword embeddings."""
+    import numpy as np
+
+    c, r = _tokens(candidate), _tokens(reference)
+    if not c or not r:
+        return 0.0
+    C = np.stack([_token_vec(t) for t in c])   # [nc, d]
+    R = np.stack([_token_vec(t) for t in r])   # [nr, d]
+    sim = C @ R.T                              # cosine (rows unit-norm)
+    precision = float(sim.max(axis=1).mean())
+    recall = float(sim.max(axis=0).mean())
+    if precision + recall <= 0:
+        return 0.0
+    return 2 * precision * recall / (precision + recall)
 
 
 _NUM_RE = re.compile(r"-?\d+(?:\.\d+)?")
@@ -163,6 +218,7 @@ class ComprehensiveQualityEvaluator:
         r2 = rouge_n(output, reference, 2)
         rl = rouge_l(output, reference)
         f1 = token_f1(output, reference)
+        soft = soft_token_f1(output, reference)
         if task == "math":
             task_score = math_accuracy(output, reference)
         elif task == "factual":
@@ -180,10 +236,10 @@ class ComprehensiveQualityEvaluator:
             rouge1=r1,
             rouge2=r2,
             rougeL=rl,
-            bertscore_f1=f1,
+            bertscore_f1=soft,
             task_specific=task_score,
             aggregate=float(agg),
-            details={"token_f1": f1},
+            details={"token_f1": f1, "soft_token_f1": soft},
         )
 
     def evaluate_batch(

@@ -670,6 +670,37 @@ def main() -> None:
         "cascade_tokens_per_s": round(B / (largest_time / float(value)), 1),
         "bench_wall_s": round(time.time() - t_start, 1),
     }
+    # Measured under-load serving throughput (scripts/load_bench.py writes the
+    # committed artifact): the per-request walk above models isolated latency;
+    # the scheduled plane's cross-request batching makes system throughput a
+    # separate, measured number (VERDICT r2 #10).
+    load_paths = sorted(
+        p for p in os.listdir(".") if p.startswith("LOADBENCH_") and p.endswith(".json")
+    )
+    if load_paths:
+        try:
+            reports = []
+            for p in load_paths:
+                with open(p) as f:
+                    reports.append((p, json.load(f)))
+            # prefer the newest normal-capacity run (pressure runs exist to
+            # demonstrate preemption, not throughput)
+            normal = [r for r in reports if not r[1].get("page_pressure")]
+            path, lb = (normal or reports)[-1]
+            result["serving_under_load"] = {
+                "artifact": path,
+                "platform": lb.get("platform"),
+                "passes": [
+                    {k: p.get(k) for k in (
+                        "prefetch", "offered_rate_rps", "achieved_rps",
+                        "serving_tokens_per_s", "latency_p50_s",
+                        "latency_p95_s", "latency_p99_s", "preemptions",
+                    )}
+                    for p in lb.get("passes", [])
+                ],
+            }
+        except (OSError, json.JSONDecodeError):
+            pass
     print(json.dumps(result))
 
 

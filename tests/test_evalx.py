@@ -19,6 +19,7 @@ from adaptive_sd_tpu.evalx import (
     rouge_l,
     rouge_n,
     synthetic_dataset,
+    soft_token_f1,
     token_f1,
 )
 
@@ -65,6 +66,24 @@ class TestQualityMetrics:
 
     def test_token_f1(self):
         assert token_f1("paris is the capital", "the capital is paris") == pytest.approx(1.0)
+
+    def test_soft_token_f1_orders_by_similarity(self):
+        # identical -> 1; morphological variants beat unrelated; stable
+        # across calls (hash is crc32, not process-seeded str hash)
+        assert soft_token_f1("running fast", "running fast") == pytest.approx(1.0)
+        morpho = soft_token_f1("he was running quickly", "she runs quick")
+        unrelated = soft_token_f1("he was running quickly", "tariff policy debate")
+        exact = token_f1("he was running quickly", "she runs quick")
+        assert morpho > unrelated
+        assert morpho > exact  # soft matching credits subword overlap
+        assert soft_token_f1("running fast", "") == 0.0
+        assert soft_token_f1("a b", "a b") == soft_token_f1("a b", "a b")
+
+    def test_evaluator_reports_soft_f1_as_bertscore(self):
+        m = ComprehensiveQualityEvaluator().evaluate(
+            "the capitals of europe", "capital cities in europe")
+        assert m.bertscore_f1 == pytest.approx(m.details["soft_token_f1"])
+        assert m.details["soft_token_f1"] >= m.details["token_f1"]
 
     def test_math_accuracy_final_answer(self):
         assert math_accuracy("the answer is 42", "42") == 1.0
