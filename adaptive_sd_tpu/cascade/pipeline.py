@@ -14,6 +14,13 @@ Deliberate deviations (SURVEY.md §7 "what NOT to replicate"):
   the DP on the visited prefix only, which cannot weigh future escalation.
 * ``batch_process`` genuinely batches each tier across requests (the
   reference's is a sequential loop marked TODO).
+* The last stage's acceptance probability is NOT pinned to 1.0 (the
+  reference pins it, pipeline.py:242). Stopping at the last stage is forced
+  structurally by the Bellman (policy/dp.py V[n-1] = 1 - p[n-1]); pinning
+  the INPUT on top of that zeroes the terminal miss, so the DP believes the
+  top tier solves everything and escalates hopeless requests through the
+  whole cascade. Honest terminal estimates give futility stopping: a prompt
+  no tier can solve stops at tier 0 at 1/10th the cost and identical quality.
 * No NameError-class scope bugs: all state is explicit per-request.
 """
 
@@ -174,18 +181,23 @@ class AdaptiveCascadePipeline:
 
     def _prompt_priors(self, prompt: str) -> Optional[np.ndarray]:
         """Prompt-conditional per-stage acceptance estimates [n_stages]:
-        ``predict(prompt, "", None, k)`` for every stage (the draft-less rows
-        predict/data.py trains, per-stage Platt-calibrated in predict/mlp.py).
-        The last stage is pinned to 1.0 (its answer is final by definition —
-        reference pipeline.py:242 parity). Returns None when disabled or the
-        predictor cannot score prompt-only rows (falls back to running
-        means)."""
+        ``predict(prompt, "", None, k)`` for EVERY stage including the last
+        (the draft-less rows predict/data.py trains, per-stage
+        Platt-calibrated in predict/mlp.py). The last stage is NOT pinned to
+        1.0: the Bellman already forces stopping there structurally
+        (policy/dp.py V[n-1] = 1 - p[n-1]); an honest terminal estimate lets
+        the DP stop hopeless prompts at tier 0 for free instead of paying the
+        whole cascade for an answer no tier can give (futility stopping).
+        The reference pins the last stage (pipeline.py:242) — a deliberate
+        deviation, SURVEY.md §7 "what NOT to replicate". Returns None when
+        disabled or the predictor cannot score prompt-only rows (falls back
+        to running means)."""
         if not self.config.prompt_conditional_priors:
             return None
         n = self.n_stages
         p = np.ones(n, np.float64)
         try:
-            for k in range(n - 1):
+            for k in range(n):
                 p[k] = float(np.clip(
                     self.predictor.predict(prompt, "", None, k).quality_score,
                     0.0, 1.0,
@@ -196,7 +208,6 @@ class AdaptiveCascadePipeline:
         if w < 1.0:
             blend = np.asarray([self._stage_prior(i) for i in range(n)])
             p = w * p + (1.0 - w) * blend
-        p[-1] = 1.0
         return p
 
     def _entry_tier(self, prompt_priors: Optional[np.ndarray], lam: float) -> int:
@@ -418,10 +429,13 @@ class AdaptiveCascadePipeline:
                 is_last = i == self.n_stages - 1
                 t_dec = time.perf_counter()
                 inline_flag = getattr(output, "_inline_escalate", None)
-                if is_last:
-                    p_raw = 1.0  # reference pipeline.py:242 pins the last stage
-                    pred = None
-                elif inline_flag is not None:
+                # The last stage is scored honestly too (NOT pinned to 1.0
+                # as the reference does, pipeline.py:242): stopping there is
+                # forced structurally, and the honest score keeps the running
+                # priors (_obs_sum) truthful for future requests' DPs —
+                # otherwise every visit teaches the DP "the top tier always
+                # succeeds" and hopeless prompts escalate forever after.
+                if inline_flag is not None:
                     # On-device policy already decided (stages.py inline path);
                     # its p_hat arrived with the tokens.
                     pred = None
@@ -437,7 +451,7 @@ class AdaptiveCascadePipeline:
                     int(self._obs_n[i]),
                     alpha=self.config.risk_alpha,
                     beta=self.config.risk_beta,
-                ) if not is_last else 1.0
+                )
                 probs.append(p_adj)
                 visited_idx.append(i)
 

@@ -308,21 +308,19 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
             dt = float(output.generation_time_s or 0.0)
 
             t_dec = time.perf_counter()
-            if is_last:
-                p_raw, pred = 1.0, None
-            else:
-                pred = self.predictor.predict(
-                    job.request.prompt, output.text, output.logprobs, tier
-                )
-                p_raw = float(np.clip(pred.quality_score, 0.0, 1.0))
+            # Honest score for EVERY tier including the last (no 1.0 pin —
+            # see pipeline.py module docstring: stopping at the last tier is
+            # structurally forced, and honest terminal scores keep the
+            # running priors truthful so hopeless prompts futility-stop at
+            # tier 0 instead of escalating through the whole cascade).
+            pred = self.predictor.predict(
+                job.request.prompt, output.text, output.logprobs, tier
+            )
+            p_raw = float(np.clip(pred.quality_score, 0.0, 1.0))
             job.raw_probs.append(p_raw)
-            p_adj = (
-                1.0
-                if is_last
-                else bayesian_adjustment(
-                    p_raw, int(self._obs_n[tier]),
-                    alpha=self.config.risk_alpha, beta=self.config.risk_beta,
-                )
+            p_adj = bayesian_adjustment(
+                p_raw, int(self._obs_n[tier]),
+                alpha=self.config.risk_alpha, beta=self.config.risk_beta,
             )
             job.probs.append(p_adj)
             job.visited.append(tier)

@@ -82,7 +82,16 @@ def generate_from_engines(
       _maybe_prefetch) scores ``predict(prompt, "", None, k)`` at arrival;
     * the DP's unvisited-tier priors and the direct-entry decision
       (cascade/pipeline.py _prompt_priors) score every stage the same way.
-    Without them those calls are out-of-distribution for the trained MLP."""
+    Without them those calls are out-of-distribution for the trained MLP.
+
+    Terminal semantics: with RELATIVE labels (similarity to the largest
+    tier's own output) the last stage's quality is 1.0 by construction, so
+    the trained predictor emits ~1 for it — the DP then behaves like the
+    reference's explicit pin. With OBJECTIVE labels (task-scored answers,
+    the bench's world) the predictor learns the tier's honest solve rate and
+    the DP futility-stops prompts no tier can solve. Neither world needs an
+    input-side pin; the Bellman's V[n-1] = 1 - p[n-1] already forces
+    stopping at the last stage (cascade/pipeline.py module docstring)."""
     samples: list[TrainingSample] = []
     costs = list(costs) if costs is not None else [1.0] * len(engines)
     for prompt in prompts:

@@ -305,13 +305,25 @@ class MLPQualityPredictor:
                 texts=[texts[i] for i in val_idx] if texts is not None else None,
             )
             y_val = y[val_idx]
-            self.calibration = _fit_platt(p_val, y_val)
-            # Per-(stage, draftless) Platt on top of the pooled fit: groups
-            # with enough validation mass AND both classes get their own
-            # (a, b); the rest keep the pooled fallback. Reliability/ECE per
-            # group goes into the report.
+
+            def _cal(p: np.ndarray, ab: tuple[float, float]) -> np.ndarray:
+                a, b = ab
+                logit = np.log(np.clip(p, 1e-7, 1 - 1e-7)
+                               / np.clip(1 - p, 1e-7, 1))
+                return 1.0 / (1.0 + np.exp(-(a * logit + b)))
+
+            # Pooled Platt, kept only when it reduces ECE on the validation
+            # slice it was fit on — a fit that cannot even help in-sample
+            # (small n, ECE-vs-NLL mismatch) would only distort the DP.
+            pooled = _fit_platt(p_val, y_val)
+            if _ece(y_val, _cal(p_val, pooled)) <= _ece(y_val, p_val):
+                self.calibration = pooled
+            # Per-(stage, draftless) calibration: each group picks the best
+            # of {identity, pooled, its own Platt fit} by validation ECE, so
+            # calibration can only improve per-tier reliability — the
+            # quantity the DP routes on. Reliability/ECE per group goes into
+            # the report.
             groups = self._groups_of(X[val_idx])
-            pa, pb = self.calibration
             for key in sorted({tuple(g) for g in groups}):
                 m = (groups[:, 0] == key[0]) & (groups[:, 1] == key[1])
                 n_pos = int((y_val[m] > 0.5).sum())
@@ -319,16 +331,19 @@ class MLPQualityPredictor:
                 row = {"stage": int(key[0]), "draftless": int(key[1]),
                        "n": int(m.sum()),
                        "ece_before": _ece(y_val[m], p_val[m])}
+                candidates = [("identity", (1.0, 0.0)),
+                              ("pooled", self.calibration)]
                 if m.sum() >= 20 and n_pos >= 3 and n_neg >= 3:
-                    a, b = _fit_platt(p_val[m], y_val[m])
+                    candidates.append(("group", _fit_platt(p_val[m], y_val[m])))
+                chosen, (a, b) = min(
+                    candidates,
+                    key=lambda c: _ece(y_val[m], _cal(p_val[m], c[1])),
+                )
+                if (a, b) != self.calibration:
                     self.group_calibration[(int(key[0]), int(key[1]))] = (a, b)
-                else:
-                    a, b = pa, pb
-                logit = np.log(np.clip(p_val[m], 1e-7, 1 - 1e-7)
-                               / np.clip(1 - p_val[m], 1e-7, 1))
-                p_cal = 1.0 / (1.0 + np.exp(-(a * logit + b)))
                 row.update({"a": round(float(a), 4), "b": round(float(b), 4),
-                            "ece_after": _ece(y_val[m], p_cal)})
+                            "chosen": chosen,
+                            "ece_after": _ece(y_val[m], _cal(p_val[m], (a, b)))})
                 rep.calibration_report.append(row)
         rep.fold_metrics = report.fold_metrics
         rep.train_time_s = time.perf_counter() - t_start

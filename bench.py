@@ -29,9 +29,13 @@ What it measures (single chip — the driver's environment has one TPU):
   int4-vs-int8 greedy-agreement bill (verify_continue prefix agreement on
   same-weight engine twins — random weights, so a pessimistic bound). If the
   mixed row still clears the 95% quality gate it becomes the headline.
-* ORACLE BOUND: perfect-knowledge routing (direct and sequential-cascade)
-  over the same realized goodness and measured timings — the attainable
-  ceiling that separates routing loss from kernel speed.
+* ORACLE BOUND: perfect-knowledge routing over the same realized goodness
+  and measured timings — the attainable ceiling that separates routing loss
+  from kernel speed. Three bounds: quality-maximal direct (cheapest good
+  tier; items NO tier solves stop at tier 0 — futility), the
+  GATE-CONSTRAINED ceiling (max speed s.t. mean quality >= 95% of
+  always-largest — the benchmark objective's true upper bound, reported as
+  oracle_speedup), and a sequential-cascade oracle.
 * ROBUSTNESS: the headline recomputed over dispersion {0.03, 0.05, 0.10} x
   capability source {measured, theory} (drafts and timings shared; predictor
   retrained per cell).
@@ -348,14 +352,16 @@ def main() -> None:
             epochs=60, patience=8, seed=0, batch_size=64, calibrate=True,
             texts=text_pairs(train_items, tr_texts) + pf_texts_train * n_tiers,
         )
+        # No last-stage pin (pipeline parity): the Bellman forces stopping at
+        # the last stage structurally; honest terminal estimates let the DP
+        # futility-stop hopeless items at tier 0 instead of paying the whole
+        # cascade for an answer no tier can give.
         p_hat = predictor.predict_features(
             X_eval, texts=text_pairs(eval_items, ev_texts)
         ).reshape(n_eval, n_tiers)
-        p_hat[:, -1] = 1.0  # pipeline parity: the last stage always accepts
         p0 = predictor.predict_features(
             X_pf_eval, texts=pf_texts_eval
         ).reshape(n_tiers, n_eval).T
-        p0[:, -1] = 1.0     # pipeline._prompt_priors pins the last stage
         return p_hat, p0, predictor, report
 
     def make_walk(times, p_hat, p0_eval, p_true_eval, *, prefetch_credit: bool):
@@ -396,7 +402,7 @@ def main() -> None:
                 warm[e + 1] = 0.0   # arrival prefetch fires at submit
             t = float(stage_plain[e])
             j = e
-            visited = {j: 1.0 if j == n_tiers - 1 else float(p_hat[i, j])}
+            visited = {j: float(p_hat[i, j])}
             while True:
                 p_vec = np.asarray(
                     [visited.get(s, p0[s]) for s in range(n_tiers)]
@@ -413,7 +419,7 @@ def main() -> None:
                     warm[nxt + 1] = t   # chain prefetch fires at submit time
                 t += transition(i, j, nxt, t, warm)
                 j = nxt
-                visited[j] = 1.0 if j == n_tiers - 1 else float(p_hat[i, j])
+                visited[j] = float(p_hat[i, j])
 
         return walk
 
@@ -457,28 +463,42 @@ def main() -> None:
         return best
 
     def oracle_rows(times, goodness, q_largest, p_true_eval):
-        """Perfect-knowledge bounds over the same world + timings: direct
-        (cheapest good tier, no cascade cost) and sequential-cascade
-        (escalate until good, speculative transitions)."""
+        """Perfect-knowledge bounds over the same world + timings
+        (evalx/oracle.py): quality-maximal direct routing (cheapest good
+        tier; futility items stop at tier 0), the gate-constrained ceiling
+        (max speed s.t. mean quality >= 95% of always-largest — the
+        benchmark objective's true upper bound), and a sequential-cascade
+        oracle (escalate until good via speculative transitions; futility
+        items stop at tier 0 immediately)."""
+        from adaptive_sd_tpu.evalx.oracle import (
+            gate_constrained_assignments,
+            oracle_assignments,
+        )
+
         step, prefl, verf = times
         stage_plain = prefl + max_new * step
-        ks = np.asarray([
-            next((k for k in range(n_tiers) if goodness[i, k]), n_tiers - 1)
-            for i in range(n_eval)
-        ])
+        ks = oracle_assignments(goodness)
         t_direct = float(stage_plain[ks].mean())
         q_or = float(goodness[np.arange(n_eval), ks].mean()) / q_largest
+        kg = gate_constrained_assignments(
+            goodness, stage_plain, 0.95 * q_largest
+        )
+        t_gate = float(stage_plain[kg].mean())
+        q_gate = float(goodness[np.arange(n_eval), kg].mean()) / q_largest
         t_casc = []
         for i in range(n_eval):
             j, t = 0, float(stage_plain[0])
-            while not goodness[i, j] and j < n_tiers - 1:
-                acc = p_true_eval[i, j]
-                t += verf[j + 1] + (1.0 - acc) * max_new * step[j + 1]
-                j += 1
+            if goodness[i].any():
+                while not goodness[i, j] and j < n_tiers - 1:
+                    acc = p_true_eval[i, j]
+                    t += verf[j + 1] + (1.0 - acc) * max_new * step[j + 1]
+                    j += 1
             t_casc.append(t)
         dist = [float(np.mean(ks == s)) for s in range(n_tiers)]
         return {
             "direct_speedup": round(largest_time / t_direct, 3),
+            "gate_constrained_speedup": round(largest_time / t_gate, 3),
+            "gate_constrained_quality": round(q_gate, 4),
             "cascade_speedup": round(largest_time / float(np.mean(t_casc)), 3),
             "stage_distribution": [round(d, 3) for d in dist],
             "quality_preservation": round(q_or, 4),
@@ -638,9 +658,12 @@ def main() -> None:
         "quality_preservation": round(float(pres), 4),
         "lambda": round(float(lam), 4),
         "oracle": oracle,
-        "oracle_speedup": oracle["direct_speedup"],
+        # The benchmark objective is max speed s.t. quality >= 95%; the
+        # gate-constrained oracle is its true ceiling (the quality-maximal
+        # direct oracle leaves quality slack on the table).
+        "oracle_speedup": oracle["gate_constrained_speedup"],
         "attained_fraction_of_oracle": round(
-            float(value) / oracle["direct_speedup"], 3),
+            float(value) / oracle["gate_constrained_speedup"], 3),
         "prefetch": {
             "enabled_default": bool(cfg_defaults.enable_prefetch),
             "threshold": PF_T,

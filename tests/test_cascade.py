@@ -212,15 +212,17 @@ class TestEngineBackedPipeline:
         assert len(res.stage_results) >= 1
 
     def test_escalation_uses_speculative_verify(self, engine_pipeline):
-        # Borderline predicted quality: low enough to escalate (tiny lambda)
-        # but above min_draft_quality_for_verify, so the draft is carried
-        # into the speculative verify path (hopeless drafts take the plain
-        # path instead — see TestAdaptiveEscalationPolicy).
+        # Borderline tier-0 quality: low enough to escalate (tiny lambda,
+        # strong tier-1 estimate — without the last-stage pin escalation must
+        # be JUSTIFIED by a higher terminal estimate) but above
+        # min_draft_quality_for_verify, so the draft is carried into the
+        # speculative verify path (hopeless drafts take the plain path
+        # instead — see TestAdaptiveEscalationPolicy).
         class BorderlinePredictor:
             def predict(self, prompt, draft, logprobs, stage):
                 from adaptive_sd_tpu.core.types import PredictionResult
 
-                return PredictionResult(quality_score=0.4)
+                return PredictionResult(quality_score=0.4 if stage == 0 else 0.95)
 
         engine_pipeline.predictor = BorderlinePredictor()
         res = engine_pipeline.process_request(
@@ -382,14 +384,17 @@ class TestBatchSpeculativeEscalation:
         stages[1].verify_continue_text = counting_verify
 
         class Pessimist:
+            # tier 0 borderline (above min_draft_quality_for_verify so the
+            # draft is carried), tier 1 strong — honest terminal estimates
+            # mean escalation must be justified, not assumed (no 1.0 pin)
             def predict(self, *a):
                 from adaptive_sd_tpu.core.types import PredictionResult
-                return PredictionResult(quality_score=0.0)
+                return PredictionResult(quality_score=0.4 if a[3] == 0 else 0.9)
 
         pipe = AdaptiveCascadePipeline(
             StageManager(stages), Pessimist(),
             # direct_entry off: this test exercises the escalation verify
-            # path (a 0.0 prompt score would otherwise enter tier 1 directly)
+            # path (a low prompt score would otherwise enter tier 1 directly)
             PipelineConfig(lam=0.01, enable_caching=False, max_new_tokens=6,
                            direct_entry=False),
         )
@@ -449,9 +454,12 @@ class TestReviewRegressions:
         )
 
         class Pessimist:
+            # tier 0 hopeless, tier 1 promising: escalation is worth it
+            # (with honest terminal estimates a uniformly-hopeless request
+            # would futility-stop at tier 0 and never reach the broken tier)
             def predict(self, *a):
                 from adaptive_sd_tpu.core.types import PredictionResult
-                return PredictionResult(quality_score=0.0)
+                return PredictionResult(quality_score=0.0 if a[3] == 0 else 0.9)
 
         pipe = AdaptiveCascadePipeline(
             stages, Pessimist(),
@@ -515,13 +523,16 @@ class TestAdaptiveEscalationPolicy:
             calls.__setitem__("plain", calls["plain"] + 1) or orig_g(*a, **k))
 
         class Pessimist:
+            # tier-0 draft hopeless (below min_draft_quality_for_verify ->
+            # plain path), tier 1 strong (escalation justified honestly)
             def predict(self, *a):
                 from adaptive_sd_tpu.core.types import PredictionResult
-                return PredictionResult(quality_score=0.01)
+                return PredictionResult(quality_score=0.01 if a[3] == 0 else 0.9)
 
         pipe = AdaptiveCascadePipeline(
             StageManager(stages), Pessimist(),
-            PipelineConfig(lam=0.01, enable_caching=False, max_new_tokens=6),
+            PipelineConfig(lam=0.01, enable_caching=False, max_new_tokens=6,
+                           direct_entry=False),
         )
         res = pipe.process_request(RequestContext(prompt="hopeless", max_tokens=6))
         assert res.succeeded and res.final_stage == 1
@@ -643,7 +654,7 @@ class TestPromptConditionalRouting:
             MockStage("s2", cost_per_token=4.0, capacity=0.99),
         ])
 
-    def test_prompt_priors_shape_and_pinning(self):
+    def test_prompt_priors_shape_and_honest_terminal(self):
         pipe = AdaptiveCascadePipeline(
             self._stages(), self._PromptAware([0.3, 0.6, 0.1]),
             PipelineConfig(enable_caching=False),
@@ -651,7 +662,9 @@ class TestPromptConditionalRouting:
         p0 = pipe._prompt_priors("any prompt")
         assert p0 is not None and p0.shape == (3,)
         assert p0[0] == pytest.approx(0.3) and p0[1] == pytest.approx(0.6)
-        assert p0[-1] == 1.0  # last stage pinned: its answer is final
+        # NOT pinned to 1.0: the Bellman forces stopping at the last stage;
+        # the honest terminal estimate enables futility stopping.
+        assert p0[-1] == pytest.approx(0.1)
 
     def test_prompt_prior_weight_blends_running_mean(self):
         pipe = AdaptiveCascadePipeline(
@@ -661,7 +674,7 @@ class TestPromptConditionalRouting:
         p0 = pipe._prompt_priors("any prompt")
         # 0.5 * 0.0 + 0.5 * configured prior (0.7 / 0.8)
         assert p0[0] == pytest.approx(0.5 * pipe._stage_prior(0))
-        assert p0[-1] == 1.0
+        assert p0[-1] == pytest.approx(0.5 * pipe._stage_prior(2))
 
     def test_prompt_priors_fallback_on_predictor_error(self):
         class NoPromptOnly:
@@ -679,6 +692,36 @@ class TestPromptConditionalRouting:
         # and the request path still works via running priors
         res = pipe.process_request(RequestContext(prompt="still works"))
         assert res.error is None
+
+    def test_futility_stop_at_tier0(self):
+        """A prompt NO tier can solve stops at tier 0: with honest terminal
+        estimates escalation buys ~no quality but costs the whole cascade.
+        (With the reference's last-stage 1.0 pin the DP would believe the
+        top tier solves everything and escalate this request.)"""
+        pipe = AdaptiveCascadePipeline(
+            self._stages(), self._PromptAware([0.02, 0.03, 0.05]),
+            PipelineConfig(lam=1.0, enable_caching=False,
+                           risk_alpha=1e-6, risk_beta=1e-6),
+        )
+        res = pipe.process_request(RequestContext(prompt="impossible ask"))
+        assert res.error is None
+        assert [sr.stage_index for sr in res.stage_results] == [0]
+
+    def test_last_stage_scored_honestly_in_running_priors(self):
+        """Visiting the last stage records the predictor's honest score in
+        the running priors (not a pinned 1.0), so future DPs see the true
+        terminal acceptance rate."""
+        pipe = AdaptiveCascadePipeline(
+            self._stages(), self._PromptAware([0.05, 0.1, 0.2],
+                                              [0.05, 0.1, 0.4]),
+            PipelineConfig(lam=0.05, enable_caching=False,
+                           risk_alpha=1e-6, risk_beta=1e-6),
+        )
+        res = pipe.process_request(RequestContext(prompt="very hard proof"))
+        assert res.error is None
+        last = pipe.n_stages - 1
+        assert pipe._obs_n[last] == 1
+        assert pipe._obs_sum[last] == pytest.approx(0.4)
 
     def test_direct_entry_skips_hopeless_tier0(self):
         """Prompt says tier 0 (and 1) cannot solve this: enter at tier 2
@@ -741,8 +784,11 @@ class TestPromptConditionalRouting:
                 from adaptive_sd_tpu.core.types import PredictionResult
 
                 hard = "hard" in prompt
+                # hard-but-top-solvable: tiers 0/1 hopeless, tier 2 near
+                # certain (0.95 — an honest terminal estimate; a LOW top-tier
+                # prior would correctly futility-stop at tier 0 instead)
                 if draft == "":
-                    q = [0.05, 0.1, 0.3][stage] if hard else [0.9, 0.95, 0.99][stage]
+                    q = [0.05, 0.1, 0.95][stage] if hard else [0.9, 0.95, 0.99][stage]
                 else:
                     q = 0.9
                 return PredictionResult(quality_score=q)

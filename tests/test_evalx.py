@@ -378,3 +378,50 @@ class TestWorkload:
         d = np.asarray([it.difficulty for it in items])
         corr = np.corrcoef(lens, d)[0, 1]
         assert corr > 0.5, corr
+
+
+class TestOracleBounds:
+    """evalx/oracle.py: perfect-knowledge routing bounds over a realized
+    goodness matrix (the bench's oracle rows)."""
+
+    def test_cheapest_good_tier_and_futility(self):
+        from adaptive_sd_tpu.evalx import oracle_assignments
+
+        g = np.asarray([
+            [1, 1, 1],   # tier 0 suffices
+            [0, 1, 1],   # cheapest good is tier 1
+            [0, 0, 1],   # only the top tier
+            [0, 0, 0],   # NOBODY solves it: futility -> tier 0, not tier 2
+        ], bool)
+        ks = oracle_assignments(g)
+        assert ks.tolist() == [0, 1, 2, 0]
+
+    def test_gate_constrained_spends_slack_on_biggest_savers(self):
+        from adaptive_sd_tpu.evalx import gate_constrained_assignments
+
+        # 10 items: 8 easy (tier 0 good), 2 only-top-tier good.
+        g = np.zeros((10, 3), bool)
+        g[:8, :] = True
+        g[8:, 2] = True
+        t = np.asarray([1.0, 3.0, 10.0])
+        q_largest = g[:, -1].mean()          # = 1.0 here
+        # gate at 0.85: quality-max assignment gives mean 1.0 -> slack of
+        # 1.5 quality units -> exactly 1 demotion affordable (each costs 1)
+        ks = gate_constrained_assignments(g, t, 0.85 * q_largest)
+        assert (ks[:8] == 0).all()
+        assert sorted(ks[8:].tolist()) == [0, 2]  # one demoted, one kept
+        # realized quality still clears the gate
+        q = g[np.arange(10), ks].mean()
+        assert q >= 0.85 * q_largest
+
+    def test_gate_constrained_never_breaks_unattainable_gate(self):
+        from adaptive_sd_tpu.evalx import (
+            gate_constrained_assignments,
+            oracle_assignments,
+        )
+
+        g = np.zeros((4, 2), bool)
+        g[0, 1] = True
+        # gate above the attainable max: keep the quality-max assignment
+        ks = gate_constrained_assignments(g, np.asarray([1.0, 4.0]), 0.9)
+        assert ks.tolist() == oracle_assignments(g).tolist()

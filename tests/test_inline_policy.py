@@ -120,10 +120,19 @@ class TestInlinePolicyInPipeline:
         pol = policy_from_predictor(
             inline_pred, costs=[1.0, 4.0], priors=[0.6, 0.99], lam=lam
         )
-        host_pred_stub = type(
-            "P", (), {"predict": lambda self, *a: (_ for _ in ()).throw(
-                AssertionError("host predictor must not be called on inline stage"))}
-        )()
+        # The inline stage (0) must never reach the host predictor; the
+        # last stage IS scored honestly by the host predictor now (no 1.0
+        # pin), and prompt-only prior calls (draft == "") are allowed to
+        # fail (the pipeline falls back to running means).
+        def _stub_predict(self, prompt, draft, logprobs, stage):
+            if stage == 0:
+                raise AssertionError(
+                    "host predictor must not be called on inline stage")
+            from adaptive_sd_tpu.core.types import PredictionResult
+
+            return PredictionResult(quality_score=0.9)
+
+        host_pred_stub = type("P", (), {"predict": _stub_predict})()
         stages = []
         for i, name in enumerate(["small", "large"]):
             params = init_params(TINY, jax.random.key(i), dtype=jnp.float32)

@@ -220,8 +220,10 @@ class TestLearnedEmbedding:
     def test_group_calibration_save_load(self, tmp_path):
         X, y, _ = generate_synthetic(n_prompts=200, seed=11)
         m = MLPQualityPredictor()
-        m.fit(X, y, epochs=8, patience=4, calibrate=True)
-        assert m.group_calibration  # synthetic data has >=20 rows per stage
+        rep = m.fit(X, y, epochs=8, patience=4, calibrate=True)
+        # groups are reported even when ECE selection keeps the pooled fit
+        # (group_calibration only stores entries that BEAT the pooled fit)
+        assert rep.calibration_report
         p = str(tmp_path / "cal_pred.npz")
         m.save(p)
         m2 = MLPQualityPredictor.load(p)

@@ -297,11 +297,16 @@ class TestPrefixCachedScheduler:
 
 
 class FixedPredictor:
+    """``q``: scalar (every stage) or per-stage sequence. Escalation tests
+    must justify the hop with a higher terminal estimate — honest terminal
+    semantics (no last-stage 1.0 pin) futility-stop uniformly-low scores."""
+
     def __init__(self, q):
         self.q = q
 
     def predict(self, prompt, draft, logprobs, stage):
-        return PredictionResult(quality_score=self.q)
+        q = self.q[stage] if isinstance(self.q, (list, tuple)) else self.q
+        return PredictionResult(quality_score=q)
 
 
 def _tok(text):
@@ -339,7 +344,7 @@ class TestScheduledCascadePipeline:
 
     def test_escalates_via_draft_lanes(self, tiers):
         pipe = ScheduledCascadePipeline(
-            StageManager(tiers), FixedPredictor(0.4),
+            StageManager(tiers), FixedPredictor([0.4, 0.9]),
             PipelineConfig(lam=0.01, enable_caching=False),
         )
         try:
@@ -361,7 +366,7 @@ class TestScheduledCascadePipeline:
         draft-lane admission are two implementations of one contract."""
         prompts = ["alpha beta", "gamma delta epsilon", "zeta"]
         fused = AdaptiveCascadePipeline(
-            StageManager(tiers), FixedPredictor(0.4),
+            StageManager(tiers), FixedPredictor([0.4, 0.9]),
             PipelineConfig(lam=0.01, enable_caching=False),
         )
         fused_res = [
@@ -369,7 +374,7 @@ class TestScheduledCascadePipeline:
             for p in prompts
         ]
         sched = ScheduledCascadePipeline(
-            StageManager(tiers), FixedPredictor(0.4),
+            StageManager(tiers), FixedPredictor([0.4, 0.9]),
             PipelineConfig(lam=0.01, enable_caching=False),
         )
         try:
@@ -386,7 +391,7 @@ class TestScheduledCascadePipeline:
 
     def test_stochastic_escalation_uses_exact_rule(self, tiers):
         pipe = ScheduledCascadePipeline(
-            StageManager(tiers), FixedPredictor(0.4),
+            StageManager(tiers), FixedPredictor([0.4, 0.9]),
             PipelineConfig(lam=0.01, enable_caching=False),
         )
         try:
@@ -464,7 +469,7 @@ class TestScheduledCascadePipeline:
 
     def test_stats_and_stage_distribution(self, tiers):
         pipe = ScheduledCascadePipeline(
-            StageManager(tiers), FixedPredictor(0.4),
+            StageManager(tiers), FixedPredictor([0.4, 0.9]),
             PipelineConfig(lam=0.01, enable_caching=False),
         )
         try:
@@ -603,7 +608,7 @@ class TestSpeculativePrefetch:
     def test_prefetch_warms_target_tier_and_output_unchanged(self):
         # long prompt (several pages) so the prefix reuse is visible
         prompt = "escalate this please " * 6
-        base, _ = self._pipe(0.2, prefetch=False)
+        base, _ = self._pipe([0.2, 0.9], prefetch=False)
         try:
             want = base.process_request(
                 RequestContext(prompt=prompt, max_tokens=8), timeout=120)
@@ -611,7 +616,7 @@ class TestSpeculativePrefetch:
             base.shutdown()
         assert want.final_stage == 1  # low score escalates
 
-        pipe, stages = self._pipe(0.2, prefetch=True)
+        pipe, stages = self._pipe([0.2, 0.9], prefetch=True)
         try:
             res = pipe.process_request(
                 RequestContext(prompt=prompt, max_tokens=8), timeout=120)
@@ -668,7 +673,7 @@ class TestSpeculativePrefetch:
             pipe.shutdown()
 
     def test_prefetch_refs_drain(self):
-        pipe, stages = self._pipe(0.2, prefetch=True)
+        pipe, stages = self._pipe([0.2, 0.9], prefetch=True)
         try:
             for i in range(3):
                 pipe.process_request(
@@ -708,7 +713,7 @@ class TestScheduledDirectEntry:
         return pipe
 
     def test_hard_prompt_enters_tier1_directly(self):
-        pipe = self._pipe([0.05, 0.3])
+        pipe = self._pipe([0.05, 0.9])
         try:
             res = pipe.process_request(
                 RequestContext(prompt="impossible for the draft tier",
