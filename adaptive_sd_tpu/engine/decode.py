@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.exceptions import ResourceError
 from ..core.types import ModelOutput
 from ..models.config import ModelSpec
 from ..models.qwen import decode_step, logits_at, prefill
@@ -965,6 +966,19 @@ class TierEngine:
             raise
         return acqs
 
+    def _alloc(self, request_id: str, n: int) -> list[int]:
+        """allocator.alloc with idle prefix-page reclamation: refcount-0
+        cached pages are evicted one at a time under pressure before the
+        ResourceError propagates (the scheduler's admission path extends the
+        same courtesy, scheduler.py _alloc_admission — direct engine calls
+        deserve it too, or a hot prefix cache starves its own engine)."""
+        while True:
+            try:
+                return self.allocator.alloc(request_id, n)
+            except ResourceError:
+                if self.prefix_cache is None or not self.prefix_cache.evict_one():
+                    raise
+
     # fused offline/bench path ----------------------------------------------
     def generate(
         self,
@@ -1002,7 +1016,7 @@ class TierEngine:
         tables = np.zeros((Bb, max_pages), np.int32)
         try:
             for b in range(Bb):
-                tables[b] = self.allocator.alloc(f"{rid}_{b}", max_pages)
+                tables[b] = self._alloc(f"{rid}_{b}", max_pages)
             t0 = time.perf_counter()
             out_toks, out_lps, gen_len, q_bufs, self.cache = self._generate_jit(
                 self.params,
@@ -1086,7 +1100,7 @@ class TierEngine:
                 tables[i, : len(pref_pages)] = pref_pages
                 if own:
                     tables[i, len(pref_pages) : len(pref_pages) + own] = (
-                        self.allocator.alloc(f"{rid}_{i}", own)
+                        self._alloc(f"{rid}_{i}", own)
                     )
             t0 = time.perf_counter()
             out_toks, out_lps, gen_len, q_bufs, self.cache = self._generate_cached_jit(
@@ -1153,7 +1167,7 @@ class TierEngine:
         S = _bucket_len(len(prompt), min(64, self.page_size))
         max_pages = (S + max_new + self.page_size - 1) // self.page_size + 1
         rid = f"str{id(self)}_{time.monotonic_ns()}"
-        pages = self.allocator.alloc(rid, max_pages)
+        pages = self._alloc(rid, max_pages)
         try:
             tokens = np.full((1, S), PAD_ID, np.int32)
             tokens[0, : len(prompt)] = np.asarray(prompt, np.int32)
@@ -1214,7 +1228,7 @@ class TierEngine:
         tables = np.zeros((Bb, max_pages), np.int32)
         try:
             for b in range(Bb):
-                tables[b] = self.allocator.alloc(f"{rid}_{b}", max_pages)
+                tables[b] = self._alloc(f"{rid}_{b}", max_pages)
             t0 = time.perf_counter()
             out_toks, out_lps, gen_len, q_bufs, escalate, p_hat, self.cache = (
                 self._generate_policy_jit(
@@ -1346,7 +1360,7 @@ class TierEngine:
                 own = max_pages - len(pref)
                 tables[b, : len(pref)] = pref
                 if own:
-                    tables[b, len(pref) :] = self.allocator.alloc(f"{rid}_{b}", own)
+                    tables[b, len(pref) :] = self._alloc(f"{rid}_{b}", own)
             t0 = time.perf_counter()
             out_toks, out_lps, gen_len, n_acc, q_bufs, self.cache = self._verify_jit(
                 self.params,

@@ -92,7 +92,19 @@ def main() -> None:
     def detok(ids):
         return " ".join(str(int(i)) for i in ids)
 
-    n_pages = (96 if args.pressure else 512)
+    # Pressure geometry must actually BIND mid-decode: admission pre-grants
+    # pages through the first boundary, so preemption requires lanes to grow
+    # while the pool is short. Small pages make every request cross several
+    # boundaries during decode; the pool is sized so ~8 concurrent lanes
+    # cannot all grow (scheduler._ensure_pages then preempts the newest /
+    # lowest-priority lane — recompute re-admission completes it later).
+    if args.pressure:
+        page_size = 32 if args.tpu else 16
+        # ~lanes * pages_per_admission (prompt <= 192 toks / page) + slack
+        n_pages = args.lanes * (192 // page_size) // 2 + 6
+    else:
+        page_size = 128 if args.tpu else 16
+        n_pages = 512 if args.tpu else 256
 
     def build_stages():
         stages = []
@@ -105,7 +117,8 @@ def main() -> None:
                     vocab_size=vocab, tie_embeddings=False,
                 )
                 params = init_params_quantized(spec, jax.random.key(i), bits=8)
-                eng = TierEngine(spec, params, page_size=128, n_pages=n_pages,
+                eng = TierEngine(spec, params, page_size=page_size,
+                                 n_pages=n_pages,
                                  use_pallas=on_dev, enable_prefix_cache=True)
                 stages.append(EngineTextStage(eng, tok, detok, name=base,
                                               stage_index=i))
@@ -116,8 +129,8 @@ def main() -> None:
                 spec = dataclasses.replace(
                     scaled_spec(TINY128, layers=layers, name=name))
                 params = init_params(spec, jax.random.key(i))
-                eng = TierEngine(spec, params, page_size=16,
-                                 n_pages=(64 if args.pressure else 256),
+                eng = TierEngine(spec, params, page_size=page_size,
+                                 n_pages=n_pages,
                                  use_pallas=False, enable_prefix_cache=True)
                 stages.append(EngineTextStage(eng, tok, detok, name=name,
                                               stage_index=i))
@@ -144,7 +157,9 @@ def main() -> None:
     p_true = solve_prob_matrix(train_items, caps, 0.05)
     rng = np.random.default_rng(args.seed)
     X, y, texts = [], [], []
-    Bc = args.lanes
+    # pressure pools are sized to bind under the PASS's concurrency; the
+    # training-draft phase must fit its batch in pages, so chunk it small
+    Bc = 2 if args.pressure else args.lanes
     drafts_by_stage = [[] for _ in range(n_tiers)]
     for i in range(0, n_train, Bc):
         chunk = train_items[i : i + Bc]
@@ -184,8 +199,20 @@ def main() -> None:
             max_batch=args.lanes, max_context=512, scan_steps=args.scan_steps,
         )
         try:
-            pipe.process_request(RequestContext(
-                prompt="warm up the lane graphs", max_tokens=args.max_tokens))
+            # Warm EVERY graph bucket the pass will hit (admission prefill,
+            # decode scans, escalation verify per tier) with a concurrent
+            # burst from the same prompt distribution — graph load through
+            # the remote-compile tunnel costs seconds per bucket and must
+            # not be billed to the measured pass.
+            warm_items = make_workload(args.lanes, seed=args.seed + 23)
+            warm_jobs = [
+                pipe.submit(RequestContext(
+                    prompt=it.prompt, max_tokens=args.max_tokens,
+                    request_id=f"warm{j}"))
+                for j, it in enumerate(warm_items)
+            ]
+            for j in warm_jobs:
+                j.wait(timeout=900)
             pipe.reset_stats()
             jobs = []
             t_start = time.perf_counter()
