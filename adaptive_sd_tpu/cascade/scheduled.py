@@ -141,6 +141,38 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
                 self._finalize(job, error="pipeline shut down")
         super().shutdown()
 
+    def warmup(self, *, sampled: bool = False, max_draft: int = 32,
+               max_prompt: Optional[int] = None) -> dict:
+        """Precompile every tier's serving graph lattice before traffic
+        (ContinuousBatchingScheduler.warmup): admission windows, decode
+        scans, and — on tiers that can receive escalations — the verify
+        lattice, including the draft-support widths of every lower tier
+        when ``sampled``. One-time per deployment with the persistent
+        compile cache; keeps cold-graph stalls off the serving path."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def warm_one(k: int):
+            kqs: list = [None]
+            if sampled:
+                kqs += sorted(
+                    {int(getattr(self.stages[j], "spec_topk", 0) or 0)
+                     for j in range(k)} - {0}
+                )
+            return self.schedulers[k].warmup(
+                sampled=sampled, draft_supports=kqs, max_draft=max_draft,
+                max_prompt=max_prompt, drafts=k > 0,
+            )
+
+        # tiers warm concurrently: each scheduler dispatches only against
+        # its OWN engine (separate jit caches and donated KV buffers), so
+        # the per-tier compile streams overlap instead of serialising
+        with ThreadPoolExecutor(max_workers=self.n_stages) as pool:
+            futs = [pool.submit(warm_one, k) for k in range(self.n_stages)]
+            return {
+                stage.name: fut.result()
+                for stage, fut in zip(self.stages, futs)
+            }
+
     # ------------------------------------------------------------- execution
     def submit(self, request: RequestContext) -> _CascadeJob:
         """Non-blocking entry: the request joins tier 0's lanes; escalation
@@ -521,3 +553,8 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
         s = super().get_stats()
         s["schedulers"] = [sc.stats() for sc in self.schedulers]
         return s
+
+    def reset_stats(self) -> None:
+        super().reset_stats()
+        for sc in self.schedulers:
+            sc.reset_dispatch_stats()

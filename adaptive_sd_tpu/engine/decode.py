@@ -48,6 +48,19 @@ def _bucket_len(s: int, multiple: int) -> int:
     return max(multiple, ((s + multiple - 1) // multiple) * multiple)
 
 
+def _bucket_pow2(s: int, floor: int, cap: Optional[int] = None) -> int:
+    """Geometric length bucket: next power of two >= ``s``, floored at
+    ``floor`` and clamped to ``cap`` (rounded up to a ``floor`` multiple).
+    Every distinct padded shape is a distinct compiled graph — the serving
+    scheduler buckets geometrically so the whole lattice is O(log) graphs
+    and can be precompiled at startup (scheduler.warmup), instead of paying
+    a mid-serving compile for each new multiple-of-``floor`` length."""
+    b = max(floor, 1 << max(s - 1, 0).bit_length())
+    if cap is not None:
+        b = min(b, _bucket_len(cap, floor))
+    return b
+
+
 def _default_fwd(use_pallas: bool, act_quant: bool):
     """Single-device / GSPMD forward triple. The shard_map tensor-parallel
     path (models/qwen_tp.make_tp_forward) provides the same interface, so

@@ -34,7 +34,7 @@ import jax
 import numpy as np
 
 from ..core.exceptions import ResourceError
-from .decode import PAD_ID, TierEngine, _bucket_batch, _bucket_len
+from .decode import PAD_ID, TierEngine, _bucket_batch, _bucket_pow2
 
 
 @dataclass
@@ -142,11 +142,184 @@ class ContinuousBatchingScheduler:
         # when self.steps does not (a step that dispatches nothing), or
         # successive admission rounds would reuse identical sampling keys
         self._admission_seq = 0
+        # Per-dispatch-kind timing: {kind: [count, total_s, max_s]}. The
+        # engine calls block through device_get, so each sample includes
+        # queueing + (first-use) graph compile/load + execution — the max
+        # column is how cold graph-shape buckets show up in production
+        # stats. ``_buckets``: dispatches per (kind, shape-bucket) key; a
+        # long tail of single-hit buckets means arrival patterns are
+        # fragmenting the compiled-graph working set.
+        self._disp: dict[str, list] = {
+            k: [0, 0.0, 0.0] for k in ("admit", "verify", "scan")
+        }
+        self._buckets: collections.Counter = collections.Counter()
+        self._warm_buckets: set = set()  # lattice keys precompiled by warmup()
         from .native_bridge import make_lanes
 
         # C++ lane table mirror (None -> Python scan). Lane choice stays in
         # Python (lowest-free order matches the C++ admit scan; asserted).
         self._nlanes = make_lanes(max_batch, self.page)
+
+    def _timed(self, kind: str, bucket: tuple, fn, *args, **kw):
+        """Run one engine dispatch under the per-kind timer. ``bucket`` is
+        the padded-shape key the dispatch compiles under (batch/window
+        buckets) — distinct keys are distinct compiled graphs."""
+        t0 = time.perf_counter()
+        out = fn(*args, **kw)
+        dt = time.perf_counter() - t0
+        d = self._disp[kind]
+        d[0] += 1
+        d[1] += dt
+        d[2] = max(d[2], dt)
+        self._buckets[(kind,) + bucket] += 1
+        return out
+
+    # --------------------------------------------------------------- warmup
+    @staticmethod
+    def _pow2_lattice(floor: int, cap: int) -> list[int]:
+        """All values _bucket_pow2 can produce for lengths in [1, cap]."""
+        top = _bucket_pow2(cap, floor, cap)
+        vals, v = [], floor
+        while v < top:
+            vals.append(v)
+            v <<= 1
+        vals.append(top)
+        return vals
+
+    def warmup(
+        self,
+        *,
+        max_prompt: Optional[int] = None,
+        max_draft: int = 32,
+        sampled: bool = False,
+        draft_supports: Sequence[Optional[int]] = (None,),
+        drafts: bool = True,
+    ) -> dict:
+        """Precompile the serving graph lattice with dummy dispatches so no
+        cold compile ever lands on the serving path.
+
+        Every distinct padded shape the scheduler can dispatch — admission
+        (row bucket x window bucket), escalation verify (row x window x
+        draft x support), decode scan — is a separate compiled graph;
+        _bucket_pow2 keeps the lattice O(log) per axis and this enumerates
+        and dispatches each one against an all-out-of-range page table
+        (the KV scatter drops every write, so device state is untouched).
+        With the persistent compile cache the cost is one compile per graph
+        per deployment, paid here instead of mid-request (measured: a cold
+        admission bucket stalls the dispatch thread for seconds through the
+        remote-compile tunnel while arrivals pile into further cold buckets).
+
+        ``sampled``: also warm the temperature>0 variants (per-token top-K
+        support attached). ``draft_supports``: support widths K of draft_q
+        tuples escalations may carry (None = greedy acceptance).
+        ``max_draft``/``max_prompt``: lattice caps — requests beyond them
+        still work, they just compile on first use. Returns
+        {"graphs": n, "wall_s": t}; dispatch stats are reset afterwards so
+        serving metrics start clean (the warmed keys stay in
+        ``self._warm_buckets`` for coverage checks)."""
+        import jax as _jax
+
+        t0 = time.perf_counter()
+        cap_w = min(max_prompt or self.max_context, self.max_context)
+        cached = self.engine.prefix_cache is not None
+        w_floor = min(64, self.page) if cached else self.page
+        key = _jax.random.key(0)
+        oob = np.full((1, self.max_pages), self._oob_page, np.int32)
+
+        nb_plain = self._pow2_lattice(1, self.max_batch)
+        nb_verify = [1] if self.max_batch == 1 else [1, self.max_batch]
+        topks = [0] + ([self.spec_topk] if sampled and self.spec_topk else [])
+
+        def row(nb):
+            return np.repeat(oob, nb, axis=0)
+
+        for topk in topks:
+            temps_v = 1.0 if topk else 0.0
+            for nb in nb_plain:
+                temps = np.full((nb,), temps_v, np.float32)
+                tps = np.ones((nb,), np.float32)
+                for W in self._pow2_lattice(w_floor, cap_w):
+                    tokens = np.ones((nb, W), np.int32)
+                    if cached:
+                        self._timed(
+                            "admit", (nb, W, topk),
+                            self.engine.prefill_window_sample_batch,
+                            tokens, np.zeros((nb,), np.int32),
+                            np.full((nb,), W, np.int32), row(nb), temps, key,
+                            return_topk=topk, top_ps=tps,
+                        )
+                    else:
+                        self._timed(
+                            "admit", (nb, W, topk),
+                            self.engine.prefill_sample_batch,
+                            tokens, np.full((nb,), W, np.int32), row(nb),
+                            temps, key, return_topk=topk, top_ps=tps,
+                        )
+            if drafts:
+                for nb in nb_verify:
+                    temps = np.full((nb,), temps_v, np.float32)
+                    tps = np.ones((nb,), np.float32)
+                    for S in self._pow2_lattice(w_floor, cap_w):
+                        for Dw in self._pow2_lattice(
+                            8, min(max_draft, self.max_context)
+                        ):
+                            if Dw > S:
+                                continue  # window always covers the draft
+                            for kq in draft_supports:
+                                if kq is not None and not topk:
+                                    continue  # support rides sampled lanes
+                                dq = ()
+                                if kq:
+                                    dq = (
+                                        np.zeros((nb, Dw), np.float32),
+                                        np.zeros((nb, Dw, kq), np.int32),
+                                        np.full((nb, Dw, kq), 1.0 / kq,
+                                                np.float32),
+                                    )
+                                tokens = np.ones((nb, S), np.int32)
+                                # the graph is keyed by (S, Dw), not by the
+                                # traced lengths — any valid split warms it
+                                d = min(Dw, S - 1)
+                                p_lens = np.full((nb,), S - d, np.int32)
+                                t_lens = np.full((nb,), S, np.int32)
+                                self._timed(
+                                    "verify", (nb, S, Dw, kq or 0, topk),
+                                    self.engine.verify_admit_sample_batch,
+                                    tokens, p_lens, t_lens, row(nb), temps,
+                                    key, max_draft=Dw, draft_q=dq,
+                                    return_topk=topk,
+                                    offsets=(np.zeros((nb,), np.int32)
+                                             if cached else None),
+                                    top_ps=tps,
+                                )
+            B = self.max_batch
+            temps = np.full((B,), temps_v, np.float32)
+            tps = np.ones((B,), np.float32)
+            toks0 = np.full((B,), PAD_ID, np.int32)
+            pos0 = np.zeros((B,), np.int32)
+            if self.scan_steps > 1:
+                self._timed(
+                    "scan", (self.scan_steps, topk),
+                    self.engine.decode_sample_scan,
+                    toks0, pos0, np.repeat(oob, B, axis=0), temps, key,
+                    np.ones((B,), np.int32), n_steps=self.scan_steps,
+                    return_topk=topk, top_ps=tps,
+                )
+            else:
+                self._timed(
+                    "scan", (1, topk),
+                    self.engine.decode_sample_batch,
+                    toks0, pos0, np.repeat(oob, B, axis=0), temps, key,
+                    return_topk=topk, top_ps=tps,
+                )
+
+        report = {
+            "graphs": len(self._buckets),
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }
+        self._warm_buckets = set(self._buckets)
+        self.reset_dispatch_stats()
+        return report
 
     # -------------------------------------------------------------- frontend
     def submit(
@@ -319,9 +492,9 @@ class ContinuousBatchingScheduler:
                 if prefix is not None:
                     # prefix-cache admission: prefill only the uncached
                     # suffix windows (offsets 0 rows degrade to full prefill)
-                    W = _bucket_len(
+                    W = _bucket_pow2(
                         max(len(s) - r.n_reused for s, (_, r) in zip(seqs, plain)),
-                        min(64, self.page),
+                        min(64, self.page), self.max_context,
                     )
                     tokens = np.full((nb, W), PAD_ID, np.int32)
                     offsets = np.zeros((nb,), np.int32)
@@ -331,18 +504,24 @@ class ContinuousBatchingScheduler:
                         tokens[row, : len(sx)] = sx
                         offsets[row] = req.n_reused
                         win_lens[row] = len(sx)
-                    toks, lps, q_out = self.engine.prefill_window_sample_batch(
+                    toks, lps, q_out = self._timed(
+                        "admit", (nb, W, topk),
+                        self.engine.prefill_window_sample_batch,
                         tokens, offsets, win_lens, tables, temps, key,
                         return_topk=topk, top_ps=tps,
                     )
                 else:
-                    S = _bucket_len(max(len(s) for s in seqs), self.page)
+                    S = _bucket_pow2(
+                        max(len(s) for s in seqs), self.page, self.max_context
+                    )
                     tokens = np.full((nb, S), PAD_ID, np.int32)
                     seq_lens = np.ones((nb,), np.int32)
                     for row, (seq, (lane, req)) in enumerate(zip(seqs, plain)):
                         tokens[row, : len(seq)] = seq
                         seq_lens[row] = len(seq)
-                    toks, lps, q_out = self.engine.prefill_sample_batch(
+                    toks, lps, q_out = self._timed(
+                        "admit", (nb, S, topk),
+                        self.engine.prefill_sample_batch,
                         tokens, seq_lens, tables, temps, key, return_topk=topk,
                         top_ps=tps,
                     )
@@ -497,17 +676,22 @@ class ContinuousBatchingScheduler:
         verify window is [uncached prompt suffix + draft]."""
         cached = self.engine.prefix_cache is not None
         d_lens = [len(req.draft) for _, req in drafted]
-        Dw = _bucket_len(max(d_lens), 8)
+        Dw = _bucket_pow2(max(d_lens), 8, self.max_context)
         offs = [req.n_reused if cached else 0 for _, req in drafted]
-        S = _bucket_len(
+        S = _bucket_pow2(
             max(
                 len(r.prompt) + dl - o
                 for (_, r), dl, o in zip(drafted, d_lens, offs)
             ),
             min(64, self.page) if cached else self.page,
+            self.max_context,
         )
         n = len(drafted)
-        nb = _bucket_batch(n)  # row bucketing: reuse compiled verify graphs
+        # coarse row bucket {1, max_batch}: verify graphs are the biggest
+        # lattice (nb x S x Dw x support) — two row buckets keep it
+        # precompilable, and a padded verify window is cheap relative to a
+        # mid-serving compile stall
+        nb = 1 if n == 1 else self.max_batch
         tokens = np.full((nb, S), PAD_ID, np.int32)
         p_lens = np.ones((nb,), np.int32)
         t_lens = np.ones((nb,), np.int32)
@@ -537,7 +721,9 @@ class ContinuousBatchingScheduler:
         topk = self.spec_topk if any(r.temperature > 0 for _, r in drafted) else 0
         off_arr = np.zeros((nb,), np.int32)
         off_arr[:n] = offs
-        n_accs, toks, lps, draft_lps, q_out = self.engine.verify_admit_sample_batch(
+        n_accs, toks, lps, draft_lps, q_out = self._timed(
+            "verify", (nb, S, Dw, kq or 0, topk),
+            self.engine.verify_admit_sample_batch,
             tokens, p_lens, t_lens, tables, temps, key,
             max_draft=Dw, draft_q=dq, return_topk=topk,
             offsets=off_arr if cached else None, top_ps=tps,
@@ -693,7 +879,9 @@ class ContinuousBatchingScheduler:
 
         self.steps += 1
         topk = self.spec_topk if any(r.temperature > 0 for _, r, _ in still) else 0
-        toks, lps, q_out = self.engine.decode_sample_batch(
+        toks, lps, q_out = self._timed(
+            "scan", (1, topk),
+            self.engine.decode_sample_batch,
             tokens, positions, self._tables, temps, jax.random.key(self.steps),
             return_topk=topk, top_ps=tps,
         )
@@ -747,7 +935,9 @@ class ContinuousBatchingScheduler:
 
         self.steps += 1
         topk = self.spec_topk if any(r.temperature > 0 for _, r, _ in still) else 0
-        out_t, out_l, emitted, q_out = self.engine.decode_sample_scan(
+        out_t, out_l, emitted, q_out = self._timed(
+            "scan", (n_steps, topk),
+            self.engine.decode_sample_scan,
             tokens, positions, self._tables, temps, jax.random.key(self.steps),
             remaining, n_steps=n_steps, return_topk=topk, top_ps=tps,
         )
@@ -808,6 +998,13 @@ class ContinuousBatchingScheduler:
             if n == 0:
                 time.sleep(0.001)
 
+    def reset_dispatch_stats(self) -> None:
+        """Zero the per-kind dispatch timers and bucket tallies (measured
+        benchmark passes call this after their warm phase). The warmed-
+        lattice set is kept — cold-bucket detection stays valid."""
+        self._disp = {k: [0, 0.0, 0.0] for k in self._disp}
+        self._buckets.clear()
+
     def idle_capacity(self) -> int:
         """Free lanes beyond already-queued work — capacity a speculative
         prefetch may consume without delaying real admissions. Approximate
@@ -826,4 +1023,19 @@ class ContinuousBatchingScheduler:
             "completed": self.completed,
             "preemptions": self.preemptions,
             "allocator": vars(self.engine.allocator.stats()),
+            # where the scheduler thread's wall time goes, by dispatch kind;
+            # max_s >> mean flags cold graph-shape buckets (compile/load)
+            "dispatch": {
+                k: {
+                    "n": d[0],
+                    "total_s": round(d[1], 3),
+                    "mean_ms": round(1e3 * d[1] / d[0], 2) if d[0] else 0.0,
+                    "max_s": round(d[2], 3),
+                }
+                for k, d in self._disp.items()
+            },
+            "graph_buckets": len(self._buckets),
+            "bucket_hits": {
+                " ".join(map(str, k)): v for k, v in self._buckets.most_common()
+            },
         }

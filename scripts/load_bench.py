@@ -199,12 +199,15 @@ def main() -> None:
             max_batch=args.lanes, max_context=512, scan_steps=args.scan_steps,
         )
         try:
-            # Warm EVERY graph bucket the pass will hit (admission prefill,
-            # decode scans, escalation verify per tier) with a concurrent
-            # burst from the same prompt distribution — graph load through
-            # the remote-compile tunnel costs seconds per bucket and must
-            # not be billed to the measured pass.
-            warm_items = make_workload(args.lanes, seed=args.seed + 23)
+            # Precompile the whole serving graph lattice (admission windows,
+            # escalation verifies, decode scans — scheduler.warmup) so no
+            # cold compile/load through the remote-compile tunnel is billed
+            # to the measured pass; a short real burst then warms the
+            # host-side paths (tokenizer, predictor, prefix-cache inserts).
+            wrep = pipe.warmup(max_draft=args.max_tokens)
+            progress(f"lattice warm: " + ", ".join(
+                f"{k}:{v['graphs']}g/{v['wall_s']}s" for k, v in wrep.items()))
+            warm_items = make_workload(4, seed=args.seed + 23)
             warm_jobs = [
                 pipe.submit(RequestContext(
                     prompt=it.prompt, max_tokens=args.max_tokens,
@@ -233,6 +236,15 @@ def main() -> None:
             lat = np.asarray(lat)
             stats = pipe.get_stats()
             scheds = stats.get("schedulers", [])
+            # per-tier dispatch accounting: where the scheduler threads'
+            # wall time went, and whether any graph bucket compiled cold
+            # during the measured pass (warmup should leave zero)
+            dispatch = [s.get("dispatch", {}) for s in scheds]
+            cold = sorted(
+                f"t{k} " + " ".join(map(str, key))
+                for k, sc in enumerate(pipe.schedulers)
+                for key in set(sc._buckets) - sc._warm_buckets
+            )
             return {
                 "prefetch": enable_prefetch,
                 "offered_rate_rps": args.rate,
@@ -247,6 +259,8 @@ def main() -> None:
                 "preemptions": int(sum(s.get("preemptions", 0) for s in scheds)),
                 "prefetches": int(stats.get("prefetches", 0)),
                 "errors": stats["errors"],
+                "dispatch_per_tier": dispatch,
+                "cold_graph_buckets": cold,
             }
         finally:
             pipe.shutdown()

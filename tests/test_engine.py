@@ -779,3 +779,126 @@ class TestPriorityScheduling:
         assert high.done and low.done and not high.error and not low.error
         if sched.preemptions:
             assert low.preemptions >= high.preemptions
+
+
+class TestWarmup:
+    """scheduler.warmup(): the precompiled graph lattice must cover live
+    traffic (no mid-serving compiles) without touching device state."""
+
+    def _engine(self, tiny_params, prefix=True):
+        return TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=128,
+                          use_pallas=False, enable_prefix_cache=prefix)
+
+    def test_warmup_covers_traffic_buckets(self, tiny_params):
+        from adaptive_sd_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+        eng = self._engine(tiny_params)
+        sched = ContinuousBatchingScheduler(
+            eng, max_batch=4, max_context=128, scan_steps=4, spec_topk=4,
+        )
+        rep = sched.warmup(sampled=True, draft_supports=(None, 4), max_draft=16)
+        assert rep["graphs"] > 0
+        # staggered traffic: varied prompt lengths, a drafted escalation
+        # (greedy + stochastic), sampled lanes — every realizable bucket kind
+        rng = np.random.default_rng(0)
+        reqs = [
+            sched.submit([int(x) for x in rng.integers(1, 100, 1 + 7 * i)],
+                         max_new=5, temperature=0.5 * (i % 2))
+            for i in range(5)
+        ]
+        sched.run_until_idle()
+        donor = sched.submit([5, 6, 7], max_new=6, temperature=0.7)
+        sched.run_until_idle()
+        drafted = sched.submit(
+            [5, 6, 7], max_new=6, draft=donor.out_tokens,
+            draft_q=(np.asarray(donor.out_logprobs, np.float32),
+                     np.stack(donor.out_topk_ids),
+                     np.stack(donor.out_topk_probs)),
+            temperature=0.7,
+        )
+        greedy_draft = sched.submit([9, 9, 1], max_new=6,
+                                    draft=[1, 2, 3, 4])
+        sched.run_until_idle()
+        assert all(r.done and not r.error for r in reqs + [drafted, greedy_draft])
+        cold = set(sched._buckets) - sched._warm_buckets
+        assert not cold, f"traffic hit unwarmed graph buckets: {cold}"
+
+    def test_warmup_leaves_generation_identical(self, tiny_params):
+        from adaptive_sd_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+        eng = self._engine(tiny_params)
+        baseline = [o.token_ids.tolist()
+                    for o in eng.generate([[3, 1, 4], [1, 5, 9, 2]], max_new=6)]
+        sched = ContinuousBatchingScheduler(eng, max_batch=4, max_context=128,
+                                            scan_steps=4)
+        sched.warmup(max_draft=8)
+        a = sched.submit([3, 1, 4], max_new=6)
+        b = sched.submit([1, 5, 9, 2], max_new=6)
+        sched.run_until_idle()
+        assert a.out_tokens == baseline[0]
+        assert b.out_tokens == baseline[1]
+        # warmup's dummy pages were all out-of-range: nothing leaked
+        assert eng.allocator.stats().active_requests == 0
+
+    def test_warmup_no_prefix_cache_path(self, tiny_params):
+        from adaptive_sd_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+        eng = self._engine(tiny_params, prefix=False)
+        sched = ContinuousBatchingScheduler(eng, max_batch=2, max_context=64)
+        sched.warmup(max_draft=8)
+        r = sched.submit([2, 7, 1, 8], max_new=4)
+        sched.run_until_idle()
+        assert r.done and not r.error
+        assert not set(sched._buckets) - sched._warm_buckets
+
+    def test_scheduled_pipeline_warmup(self, tiny_params):
+        """Cascade-level warmup covers admissions AND cross-tier escalation
+        verifies on the upper tiers."""
+        from adaptive_sd_tpu.cascade import (
+            EngineTextStage,
+            PipelineConfig,
+            ScheduledCascadePipeline,
+            StageManager,
+        )
+        from adaptive_sd_tpu.core.types import RequestContext
+
+        def tok(t):
+            return [(ord(c) % 100) + 1 for c in t] or [1]
+
+        def detok(ids):
+            return " ".join(str(int(i)) for i in ids)
+
+        stages = [
+            EngineTextStage(self._engine(tiny_params), tok, detok,
+                            name=f"t{i}", stage_index=i)
+            for i in range(2)
+        ]
+
+        class P:
+            def predict(self, prompt, draft, lps, k):
+                from adaptive_sd_tpu.core.types import PredictionResult
+                # low tier-0 score forces escalation; tier 1 stops
+                return PredictionResult(quality_score=0.05 if k == 0 else 0.95,
+                                        confidence=1.0)
+
+        pipe = ScheduledCascadePipeline(
+            StageManager(stages), P(),
+            # lam ~ 0: quality-dominant, so the 0.05 tier-0 score must
+            # escalate even through the zero-observation Bayesian blend
+            PipelineConfig(lam=0.05, enable_caching=False,
+                           prompt_conditional_priors=False),
+            costs=[1.0, 2.0], max_batch=2, max_context=128, scan_steps=4,
+        )
+        try:
+            rep = pipe.warmup(max_draft=8)
+            assert set(rep) == {"t0", "t1"}
+            res = pipe.process_request(
+                RequestContext(prompt="warm me", max_tokens=6,
+                               request_id="w0"), timeout=120,
+            )
+            assert res.error is None and res.final_stage == 1
+            for sc in pipe.schedulers:
+                cold = set(sc._buckets) - sc._warm_buckets
+                assert not cold, f"cold buckets after pipeline warmup: {cold}"
+        finally:
+            pipe.shutdown()
