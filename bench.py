@@ -752,10 +752,18 @@ def main() -> None:
             for p in load_paths:
                 with open(p) as f:
                     reports.append((p, json.load(f)))
-            # prefer the newest normal-capacity run (pressure runs exist to
-            # demonstrate preemption, not throughput)
+            # prefer the highest-offered-rate normal-capacity run (pressure
+            # runs exist to demonstrate preemption, not throughput; low-rate
+            # runs measure latency, not capacity)
             normal = [r for r in reports if not r[1].get("page_pressure")]
-            path, lb = (normal or reports)[-1]
+            path, lb = max(
+                normal or reports,
+                key=lambda r: max(
+                    (p.get("offered_rate_rps", 0.0)
+                     for p in r[1].get("passes", [])),
+                    default=0.0,
+                ),
+            )
             result["serving_under_load"] = {
                 "artifact": path,
                 "platform": lb.get("platform"),
