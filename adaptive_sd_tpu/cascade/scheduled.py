@@ -88,10 +88,15 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
         max_context: int = 2048,
         admission_wait_s: float = 0.002,
         scan_steps: int = 8,
+        preemption_mode: str = "recompute",
     ) -> None:
         """``scan_steps``: decode steps fused per dispatch when a tier has no
         pending admissions (engine.decode_sample_scan) — the tunnel-dispatch
-        amortisation knob; 1 disables scanning."""
+        amortisation knob; 1 disables scanning.
+
+        ``preemption_mode``: "recompute" (free pages, re-prefill at resume)
+        or "swap" (host-offload the victim's KV, bit-exact restore at
+        resume) — applied to every tier's scheduler."""
         super().__init__(stages, predictor, config, costs=costs)
         from ..engine.scheduler import ContinuousBatchingScheduler
 
@@ -114,6 +119,7 @@ class ScheduledCascadePipeline(AdaptiveCascadePipeline):
                     # stochastic rule (stage.spec_topk = 0 on final tiers)
                     spec_topk=int(getattr(stage, "spec_topk", 0)),
                     scan_steps=scan_steps,
+                    preemption_mode=preemption_mode,
                 )
             )
         self._started = False

@@ -61,6 +61,29 @@ def _bucket_pow2(s: int, floor: int, cap: Optional[int] = None) -> int:
     return b
 
 
+def _swap_gather_pages(cache: PagedKVCache, idx: jax.Array):
+    """Stack the contents of pages ``idx`` across every layer:
+    ([L, n_kv, P, page, D] int8, [L, n_kv, P, 1, page] f32) x (K, V).
+    Rows of ``idx`` past the live page count point at page 0 — harmless
+    reads whose restore twin drops them (out-of-range scatter index)."""
+    g = lambda xs: jnp.stack([x[:, idx] for x in xs])  # noqa: E731
+    return g(cache.k_pages), g(cache.k_scales), g(cache.v_pages), g(cache.v_scales)
+
+
+def _swap_scatter_pages(cache: PagedKVCache, idx: jax.Array, kp, ks, vp, vs):
+    """Write a gathered page blob back into pages ``idx`` (bit-exact restore
+    of _swap_gather_pages). Padding rows carry idx == n_pages and are
+    dropped by the scatter, mirroring the cache writers' masking."""
+
+    def s(xs, blob):
+        return [x.at[:, idx].set(blob[l], mode="drop") for l, x in enumerate(xs)]
+
+    return PagedKVCache(
+        s(cache.k_pages, kp), s(cache.k_scales, ks),
+        s(cache.v_pages, vp), s(cache.v_scales, vs),
+    )
+
+
 def _default_fwd(use_pallas: bool, act_quant: bool):
     """Single-device / GSPMD forward triple. The shard_map tensor-parallel
     path (models/qwen_tp.make_tp_forward) provides the same interface, so
@@ -825,6 +848,12 @@ class TierEngine:
             static_argnames=("n_steps", "eos_id", "return_topk"),
             donate_argnums=(3,) if donate_cache else (),
         )
+        # KV page swap (swap-mode preemption, scheduler): gather page
+        # contents to host / scatter them back into a fresh page grant
+        self._swap_gather_jit = jax.jit(_swap_gather_pages)
+        self._swap_scatter_jit = jax.jit(
+            _swap_scatter_pages, donate_argnums=(0,) if donate_cache else ()
+        )
 
         # automatic prefix caching: content-addressed KV-page reuse across
         # requests (engine/prefix_cache.py); generation then prefills only
@@ -962,6 +991,32 @@ class TierEngine:
             key, return_topk=return_topk,
         )
         return jax.device_get((tok, lp, q_out))
+
+    # KV page swap (scheduler swap-mode preemption) --------------------------
+    def swap_out_pages(self, pages: list) -> tuple:
+        """Copy the full contents (K/V int8 + scales, every layer) of
+        ``pages`` to host memory. Returns an opaque blob for
+        ``swap_in_pages``; the pages themselves may then be freed and
+        reused. Page counts bucket to powers of two so repeated swaps reuse
+        a handful of compiled gather graphs (role parity: vLLM's SWAP
+        preemption, the capability the reference rents — SURVEY.md §2.8)."""
+        P = _bucket_pow2(max(len(pages), 1), 2, self.cache.n_pages)
+        idx = np.zeros((P,), np.int32)
+        idx[: len(pages)] = pages
+        blob = self._swap_gather_jit(self.cache, jnp.asarray(idx))
+        return tuple(np.asarray(x) for x in jax.device_get(blob))
+
+    def swap_in_pages(self, pages: list, blob: tuple) -> None:
+        """Restore a ``swap_out_pages`` blob into (freshly granted) device
+        pages — bit-exact: the resumed lane's attention reads identical
+        quantized KV, so resumption after a swap preemption is numerically
+        identical to never having been preempted."""
+        P = int(blob[0].shape[2])
+        idx = np.full((P,), self.cache.n_pages, np.int32)  # padding: dropped
+        idx[: len(pages)] = pages
+        self.cache = self._swap_scatter_jit(
+            self.cache, jnp.asarray(idx), *(jnp.asarray(b) for b in blob)
+        )
 
     def _acquire_prefixes(self, prompts):
         """Acquire prefix-cache chains for a batch, unwinding earlier

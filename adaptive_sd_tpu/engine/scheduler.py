@@ -79,6 +79,12 @@ class SchedRequest:
     # times this request was preempted under KV-page pressure (its pages were
     # reclaimed and it re-queued for recompute admission)
     preemptions: int = 0
+    # swap-mode preemption: host-side copy of this request's KV pages (an
+    # engine.swap_out_pages blob) awaiting restore at re-admission, the live
+    # page count it covers, and its host-memory footprint
+    swap_blob: Optional[tuple] = None
+    swap_pages: int = 0
+    swap_bytes: int = 0
     done: bool = False
     error: Optional[str] = None
     finished_at: float = 0.0
@@ -98,6 +104,8 @@ class ContinuousBatchingScheduler:
         admission_wait_s: float = 0.002,
         spec_topk: int = 0,
         scan_steps: int = 1,
+        preemption_mode: str = "recompute",
+        max_swap_bytes: int = 256 << 20,
     ) -> None:
         """``spec_topk`` > 0: sampled lanes (temperature > 0) also carry the
         top-K support of each emitted token's distribution, so a later tier
@@ -107,7 +115,22 @@ class ContinuousBatchingScheduler:
         that many decode steps per dispatch (engine.decode_sample_scan) —
         through the ~0.7 ms TPU tunnel this divides per-token dispatch
         overhead by scan_steps at the cost of admission latency bounded by
-        one scan."""
+        one scan.
+
+        ``preemption_mode``: what a page-pressure victim pays to come back
+        (role parity: vLLM's two preemption flavours, SURVEY.md §2.8).
+        ``"recompute"`` frees the pages and re-prefills [prompt + generated]
+        at re-admission — zero host memory, one prefill of recompute.
+        ``"swap"`` copies the victim's live KV pages to host memory
+        (engine.swap_out_pages) and restores them bit-exactly into a fresh
+        page grant at re-admission — no recompute, at most
+        ``max_swap_bytes`` of host memory held across all swapped-out
+        requests (beyond the budget, victims fall back to recompute)."""
+        if preemption_mode not in ("recompute", "swap"):
+            raise ValueError(
+                f"preemption_mode must be 'recompute' or 'swap', "
+                f"got {preemption_mode!r}"
+            )
         self.engine = engine
         self.max_batch = max_batch
         self.max_context = max_context
@@ -138,6 +161,10 @@ class ContinuousBatchingScheduler:
         self.steps = 0
         self.completed = 0
         self.preemptions = 0
+        self.preemption_mode = preemption_mode
+        self.max_swap_bytes = max_swap_bytes
+        self.swap_preemptions = 0
+        self._swap_bytes_held = 0
         # monotone admission counter: admission RNG keys must advance even
         # when self.steps does not (a step that dispatches nothing), or
         # successive admission rounds would reuse identical sampling keys
@@ -150,7 +177,8 @@ class ContinuousBatchingScheduler:
         # long tail of single-hit buckets means arrival patterns are
         # fragmenting the compiled-graph working set.
         self._disp: dict[str, list] = {
-            k: [0, 0.0, 0.0] for k in ("admit", "verify", "scan")
+            k: [0, 0.0, 0.0]
+            for k in ("admit", "verify", "scan", "swap_out", "swap_in")
         }
         self._buckets: collections.Counter = collections.Counter()
         self._warm_buckets: set = set()  # lattice keys precompiled by warmup()
@@ -404,6 +432,7 @@ class ContinuousBatchingScheduler:
 
         def _fail_batch(exc: Exception) -> None:
             for lane, req in batch:
+                self._drop_swap(req)
                 self._release_prefix(req, failed=True)
                 # free any pages already granted to this batch (sibling
                 # allocations that succeeded would otherwise leak forever)
@@ -425,7 +454,9 @@ class ContinuousBatchingScheduler:
             try:
                 seq = self._seq(req)
                 pref_pages: list[int] = []
-                if prefix is not None:
+                # swapped-out resumes restore a private KV copy: no prefix
+                # sharing (their pages must be exclusively owned)
+                if prefix is not None and req.swap_blob is None:
                     pref_pages, n_reused, held, fill = prefix.acquire(seq)
                     req.n_reused = n_reused
                     req.page_offset = len(pref_pages)
@@ -465,7 +496,9 @@ class ContinuousBatchingScheduler:
             return 0
         batch = admitted
 
-        plain = [(lane, req) for lane, req in batch if not req.draft]
+        swapped = [(lane, req) for lane, req in batch if req.swap_blob is not None]
+        plain = [(lane, req) for lane, req in batch
+                 if not req.draft and req.swap_blob is None]
         drafted = [(lane, req) for lane, req in batch if req.draft]
         # dedicated monotone counter (NOT self.steps, which stalls when a
         # step dispatches nothing); fold_in(1) keeps admission keys disjoint
@@ -474,6 +507,19 @@ class ContinuousBatchingScheduler:
         key = jax.random.fold_in(jax.random.key(self._admission_seq), 1)
 
         try:
+            for lane, req in swapped:
+                # restore the host KV copy into the fresh page grant; the
+                # lane then resumes exactly where it was preempted — no
+                # recompute, next_token/position/out_tokens kept as saved
+                pages = [int(p) for p in self._tables[lane, : req.swap_pages]]
+                self._timed(
+                    "swap_in", (int(req.swap_blob[0].shape[2]),),
+                    self.engine.swap_in_pages, pages, req.swap_blob,
+                )
+                self._swap_bytes_held -= req.swap_bytes
+                req.swap_blob = None
+                req.swap_bytes = 0
+
             if plain:
                 # rows bucket to powers of two: arbitrary arrival counts reuse
                 # a handful of compiled admission graphs instead of compiling
@@ -593,6 +639,7 @@ class ContinuousBatchingScheduler:
             total = len(self._seq(req)) + (len(req.draft) if req.draft else 0)
             needed = min((total + self.page) // self.page + 1, self.max_pages)
             if needed > self.engine.allocator.n_pages:
+                self._drop_swap(req)
                 req.error = str(exc)
                 req.done = True
                 if req.on_done is not None:
@@ -603,6 +650,13 @@ class ContinuousBatchingScheduler:
                 req._event.set()
             else:
                 self._resume.appendleft(req)
+
+    def _drop_swap(self, req: SchedRequest) -> None:
+        """Release a parked host KV copy (request failed or abandoned)."""
+        if req.swap_blob is not None:
+            self._swap_bytes_held -= req.swap_bytes
+            req.swap_blob = None
+            req.swap_bytes = 0
 
     def _pick_victim(self, exclude: int = -1) -> Optional[int]:
         """Preemption victim: lowest priority first, newest arrival within a
@@ -624,6 +678,25 @@ class ContinuousBatchingScheduler:
         req = self._lanes[lane]
         if req is None:
             return
+        if self.preemption_mode == "swap" and req.position > 0:
+            # copy the live KV pages to host BEFORE the grant is reclaimed;
+            # restore at re-admission is bit-exact, so the lane resumes
+            # without recompute. Beyond the host-memory budget the victim
+            # falls back to recompute (blob dropped).
+            n_save = (req.position + self.page - 1) // self.page
+            pages = [int(p) for p in self._tables[lane, :n_save]]
+            if all(p != self._oob_page for p in pages):
+                blob = self._timed(
+                    "swap_out", (_bucket_pow2(len(pages), 2),),
+                    self.engine.swap_out_pages, pages,
+                )
+                nbytes = sum(int(b.nbytes) for b in blob)
+                if self._swap_bytes_held + nbytes <= self.max_swap_bytes:
+                    req.swap_blob = blob
+                    req.swap_pages = n_save
+                    req.swap_bytes = nbytes
+                    self._swap_bytes_held += nbytes
+                    self.swap_preemptions += 1
         self._release_prefix(req)  # fills were written by admission: keep them
         self.engine.allocator.free_request(req.request_id)
         self._tables[lane, :] = self._oob_page
@@ -1022,6 +1095,9 @@ class ContinuousBatchingScheduler:
             "steps": self.steps,
             "completed": self.completed,
             "preemptions": self.preemptions,
+            "preemption_mode": self.preemption_mode,
+            "swap_preemptions": self.swap_preemptions,
+            "swap_bytes_held": self._swap_bytes_held,
             "allocator": vars(self.engine.allocator.stats()),
             # where the scheduler thread's wall time goes, by dispatch kind;
             # max_s >> mean flags cold graph-shape buckets (compile/load)

@@ -41,6 +41,11 @@ def main() -> None:
                     help="authentic 7B/32B/72B layer widths (needs the device)")
     ap.add_argument("--pressure", action="store_true",
                     help="scarce KV pages: forces preemption under load")
+    ap.add_argument("--preemption-mode", default="recompute",
+                    choices=("recompute", "swap"),
+                    help="what page-pressure victims pay to come back: "
+                         "re-prefill (recompute) or host KV offload with "
+                         "bit-exact restore (swap)")
     ap.add_argument("--out", default=None,
                     help="write the full report JSON to this path")
     ap.add_argument("--seed", type=int, default=0)
@@ -197,6 +202,7 @@ def main() -> None:
                            enable_prefetch=enable_prefetch),
             costs=costs,
             max_batch=args.lanes, max_context=512, scan_steps=args.scan_steps,
+            preemption_mode=args.preemption_mode,
         )
         try:
             # Precompile the whole serving graph lattice (admission windows,
@@ -257,6 +263,8 @@ def main() -> None:
                 "stage_distribution": [round(x, 3)
                                        for x in stats["stage_distribution"]],
                 "preemptions": int(sum(s.get("preemptions", 0) for s in scheds)),
+                "swap_preemptions": int(
+                    sum(s.get("swap_preemptions", 0) for s in scheds)),
                 "prefetches": int(stats.get("prefetches", 0)),
                 "errors": stats["errors"],
                 "dispatch_per_tier": dispatch,
@@ -281,6 +289,7 @@ def main() -> None:
         "scan_steps": args.scan_steps,
         "max_tokens": args.max_tokens,
         "page_pressure": bool(args.pressure),
+        "preemption_mode": args.preemption_mode,
         "predictor_val_auc": round(float(rep.val_auc), 4),
         "measured_cost_ratios": [round(c, 2) for c in costs],
         "passes": rows,

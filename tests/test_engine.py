@@ -406,6 +406,93 @@ class TestPreemption:
         sched.stop()
 
 
+class TestSwapPreemption:
+    """Swap-mode preemption: the page-pressure victim's live KV pages are
+    copied to host memory and restored bit-exactly at re-admission — no
+    recompute. vLLM's SWAP flavour next to the recompute flavour above
+    (the capability the reference rents, SURVEY.md §2.8)."""
+
+    def _engine(self, tiny_params, n_pages):
+        return TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=n_pages,
+                          use_pallas=False)
+
+    def test_swap_roundtrip_is_bit_exact(self, tiny_params):
+        """swap_out → clobber → swap_in restores page contents exactly."""
+        eng = self._engine(tiny_params, n_pages=8)
+        pages = eng.allocator.alloc("r", 2)
+        tables = np.full((1, 4), eng.allocator.n_pages, np.int32)
+        tables[0, :2] = pages
+        toks = np.arange(1, 21, dtype=np.int32)[None, :] % TINY.vocab_size
+        eng.prefill_batch(jnp.asarray(toks), jnp.asarray([20]),
+                          jnp.asarray(tables))
+        blob = eng.swap_out_pages(list(pages))
+        snap = [np.asarray(b).copy() for b in blob]
+        eng.prefill_batch(jnp.asarray(toks[:, ::-1].copy()), jnp.asarray([20]),
+                          jnp.asarray(tables))
+        clobbered = eng.swap_out_pages(list(pages))
+        assert any(not np.array_equal(a, b) for a, b in zip(snap, clobbered))
+        eng.swap_in_pages(list(pages), blob)
+        restored = eng.swap_out_pages(list(pages))
+        for a, b in zip(snap, restored):
+            assert np.array_equal(a, b)
+
+    @pytest.mark.parametrize("scan_steps", [1, 4])
+    def test_swap_preempted_request_completes_identically(
+        self, tiny_params, scan_steps
+    ):
+        from adaptive_sd_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+        prompts = [[3, 14, 15, 9, 2, 6], [7, 8, 9, 1]]
+        ref_eng = self._engine(tiny_params, n_pages=64)
+        expected = [o.token_ids.tolist()
+                    for o in ref_eng.generate(prompts, max_new=30)]
+
+        eng = self._engine(tiny_params, n_pages=4)  # pressure geometry: see
+        sched = ContinuousBatchingScheduler(       # TestPreemption above
+            eng, max_batch=2, max_context=128, scan_steps=scan_steps,
+            preemption_mode="swap",
+        )
+        a = sched.submit(prompts[0], max_new=30)
+        b = sched.submit(prompts[1], max_new=30)
+        sched.run_until_idle()
+        assert a.done and b.done and not a.error and not b.error
+        assert a.out_tokens == expected[0]
+        assert b.out_tokens == expected[1]
+        assert sched.swap_preemptions >= 1
+        st = sched.stats()
+        assert st["swap_bytes_held"] == 0          # every blob restored
+        assert st["preemption_mode"] == "swap"
+        assert eng.allocator.stats().active_requests == 0
+
+    def test_swap_budget_exhausted_falls_back_to_recompute(self, tiny_params):
+        """max_swap_bytes=0: victims cannot afford host offload and take the
+        recompute path instead — still identical output, zero host bytes."""
+        from adaptive_sd_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+        prompts = [[3, 14, 15, 9, 2, 6], [7, 8, 9, 1]]
+        ref_eng = self._engine(tiny_params, n_pages=64)
+        expected = [o.token_ids.tolist()
+                    for o in ref_eng.generate(prompts, max_new=30)]
+        eng = self._engine(tiny_params, n_pages=4)
+        sched = ContinuousBatchingScheduler(
+            eng, max_batch=2, max_context=128,
+            preemption_mode="swap", max_swap_bytes=0,
+        )
+        a = sched.submit(prompts[0], max_new=30)
+        b = sched.submit(prompts[1], max_new=30)
+        sched.run_until_idle()
+        assert a.out_tokens == expected[0] and b.out_tokens == expected[1]
+        assert sched.preemptions >= 1 and sched.swap_preemptions == 0
+        assert sched.stats()["swap_bytes_held"] == 0
+
+    def test_invalid_mode_rejected(self, tiny_params):
+        from adaptive_sd_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+        eng = self._engine(tiny_params, n_pages=8)
+        with pytest.raises(ValueError, match="preemption_mode"):
+            ContinuousBatchingScheduler(eng, max_batch=2, preemption_mode="page")
+
+
 class TestStreaming:
     def test_stream_matches_fused(self, tiny_params):
         eng = TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=64, use_pallas=False)
