@@ -159,10 +159,24 @@ class ServerConfig(BaseConfig):
     max_batch_lanes: int = 8
     max_context: int = 2048
     decode_scan_steps: int = 8  # fused decode steps per dispatch when idle
+    # Page-pressure preemption flavour (engine/scheduler.py): "recompute"
+    # re-prefills [prompt+generated] at resume; "swap" host-offloads the
+    # victim's KV pages and restores them bit-exactly (recompute fallback
+    # past the host budget).
+    preemption_mode: str = "recompute"
+    max_swap_mb: int = 256
+    # Host-spill budget (MiB) for evicted prefix-cache pages (CPU KV
+    # offload); 0 disables. Consumed by engine builders (TierEngine
+    # prefix_spill_bytes).
+    prefix_spill_mb: int = 0
 
     def validate(self) -> None:
         if not 1 <= self.port <= 65535:
             raise ConfigurationError(f"bad port {self.port}")
+        if self.preemption_mode not in ("recompute", "swap"):
+            raise ConfigurationError(
+                f"unknown preemption_mode {self.preemption_mode}"
+            )
 
 
 @dataclass

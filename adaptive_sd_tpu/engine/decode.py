@@ -683,6 +683,7 @@ class TierEngine:
         mesh=None,
         act_quant: bool = False,
         enable_prefix_cache: bool = False,
+        prefix_spill_bytes: int = 0,
     ) -> None:
         """``mesh``: optional jax Mesh (a disjoint sub-mesh of the pod slice,
         parallel.plan_tier_placements) — cascade tiers co-schedule on
@@ -864,7 +865,15 @@ class TierEngine:
         if enable_prefix_cache:
             from .prefix_cache import PrefixCache
 
-            self.prefix_cache = PrefixCache(self.allocator, page_size)
+            # prefix_spill_bytes > 0: evicted prefix pages spill to host
+            # (CPU KV offload) and restore bit-exactly on a chain-intact
+            # re-acquire instead of recomputing the prefill
+            self.prefix_cache = PrefixCache(
+                self.allocator, page_size,
+                spill_bytes=prefix_spill_bytes,
+                swap_out=self.swap_out_pages,
+                swap_in=self.swap_in_pages,
+            )
             self._generate_cached_jit = jax.jit(
                 _make_generate_cached_fn(spec, fwd),
                 static_argnames=("max_new", "temperature", "top_p", "eos_id",

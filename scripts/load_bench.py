@@ -41,6 +41,9 @@ def main() -> None:
                     help="authentic 7B/32B/72B layer widths (needs the device)")
     ap.add_argument("--pressure", action="store_true",
                     help="scarce KV pages: forces preemption under load")
+    ap.add_argument("--prefix-spill-mb", type=int, default=0,
+                    help="host-spill budget (MiB) for evicted prefix-cache "
+                         "pages (0 disables CPU KV offload)")
     ap.add_argument("--preemption-mode", default="recompute",
                     choices=("recompute", "swap"),
                     help="what page-pressure victims pay to come back: "
@@ -124,7 +127,8 @@ def main() -> None:
                 params = init_params_quantized(spec, jax.random.key(i), bits=8)
                 eng = TierEngine(spec, params, page_size=page_size,
                                  n_pages=n_pages,
-                                 use_pallas=on_dev, enable_prefix_cache=True)
+                                 use_pallas=on_dev, enable_prefix_cache=True,
+                                 prefix_spill_bytes=args.prefix_spill_mb << 20)
                 stages.append(EngineTextStage(eng, tok, detok, name=base,
                                               stage_index=i))
         else:
@@ -136,7 +140,8 @@ def main() -> None:
                 params = init_params(spec, jax.random.key(i))
                 eng = TierEngine(spec, params, page_size=page_size,
                                  n_pages=n_pages,
-                                 use_pallas=False, enable_prefix_cache=True)
+                                 use_pallas=False, enable_prefix_cache=True,
+                                 prefix_spill_bytes=args.prefix_spill_mb << 20)
                 stages.append(EngineTextStage(eng, tok, detok, name=name,
                                               stage_index=i))
         return stages

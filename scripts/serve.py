@@ -67,7 +67,7 @@ def _synthetic_stages() -> StageManager:
         spec = dataclasses.replace(scaled_spec(TINY128, layers=layers, name=name))
         params = quantize_model(fuse_projections(init_params(spec, jax.random.key(i))), bits=8)
         eng = TierEngine(spec, params, n_pages=256, use_pallas=False, cost_per_token=cost,
-                         enable_prefix_cache=True)
+                         enable_prefix_cache=True, prefix_spill_bytes=64 << 20)
         stages.append(EngineTextStage(eng, simple_tok, simple_detok, name=name,
                                       spec_topk=0 if i == 2 else 64))
     return StageManager(stages)
@@ -194,6 +194,7 @@ def main() -> None:
                 max_batch=serving.server.max_batch_lanes,
                 max_context=serving.server.max_context,
                 scan_steps=serving.server.decode_scan_steps,
+                preemption_mode=serving.server.preemption_mode,
             )
         return AdaptiveCascadePipeline(stage_set, predictor, pcfg)
 

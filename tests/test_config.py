@@ -109,6 +109,11 @@ class TestSchemas:
         with pytest.raises(ConfigurationError):
             s.validate()
 
+    def test_server_preemption_mode_validated(self):
+        ServerConfig(preemption_mode="swap").validate()
+        with pytest.raises(ConfigurationError):
+            ServerConfig(preemption_mode="drop").validate()
+
 
 class TestConfigManager:
     def test_yaml_env_default_resolution(self, tmp_path, monkeypatch):

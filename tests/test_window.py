@@ -281,6 +281,78 @@ class TestPrefixCache:
         assert cached.prefix_cache.stats()["hits"] >= 2
         assert a.num_tokens == 4 and b.num_tokens == 4
 
+    def test_unit_spill_and_restore(self):
+        """Evicted pages spill to host (budgeted LRU) and a chain-intact
+        re-acquire restores them as hits instead of misses."""
+        from adaptive_sd_tpu.engine.allocator import PageAllocator
+        from adaptive_sd_tpu.engine.prefix_cache import PrefixCache
+
+        device = {}  # page -> content; stands in for the KV pools
+
+        def swap_out(pages):
+            import numpy as np
+            return (np.asarray([device.get(p, 0) for p in pages]),)
+
+        def swap_in(pages, blob):
+            for p, v in zip(pages, blob[0]):
+                device[p] = int(v)
+
+        alloc = PageAllocator(16)
+        pc = PrefixCache(alloc, page_size=4, spill_bytes=1 << 20,
+                         swap_out=swap_out, swap_in=swap_in)
+        prompt = list(range(1, 11))  # 2 full chunks
+        pages, _, held, fill = pc.acquire(prompt)
+        for p in pages:
+            device[p] = 100 + p  # "prefill" writes content
+        pc.release(held)
+        while pc.evict_one():
+            pass
+        assert pc.stats()["spills"] == 2 and pc.stats()["entries"] == 0
+        saved = {p: device[p] for p in pages}
+        for p in pages:
+            device[p] = -1  # clobber freed pages
+        pages2, n2, held2, fill2 = pc.acquire(prompt)
+        assert n2 == 8 and not fill2          # full reuse, no recompute
+        assert pc.stats()["spill_hits"] == 2
+        assert [device[p] for p in pages2] == [saved[p] for p in pages]
+        pc.release(held2)
+
+    def test_unit_spill_budget_is_lru_bounded(self):
+        from adaptive_sd_tpu.engine.allocator import PageAllocator
+        from adaptive_sd_tpu.engine.prefix_cache import PrefixCache
+
+        def swap_out(pages):
+            import numpy as np
+            return (np.zeros(len(pages), np.int64),)  # 8 bytes/page
+
+        alloc = PageAllocator(16)
+        pc = PrefixCache(alloc, page_size=2, spill_bytes=16,
+                         swap_out=swap_out, swap_in=lambda p, b: None)
+        for i in range(4):
+            _, _, held, _ = pc.acquire([50 + i, 60 + i, 70 + i])
+            pc.release(held)
+        while pc.evict_one():
+            pass
+        st = pc.stats()
+        assert st["spills"] == 4
+        assert st["spilled_entries"] == 2      # 16-byte budget, 8 bytes each
+        assert st["spilled_bytes"] <= 16
+
+    def test_engine_spill_restores_identical_generation(self, tiny_params):
+        """With spill on, full eviction + re-generate gives identical output
+        and counts spill hits (no prefill recompute of the prefix)."""
+        cached = self._engine(tiny_params, prefix_spill_bytes=64 << 20)
+        prompt = list(range(1, 2 * PAGE + 5))  # 2 cacheable chunks
+        first = cached.generate([prompt], max_new=8)[0]
+        while cached.prefix_cache.evict_one():
+            pass
+        assert cached.prefix_cache.stats()["spills"] >= 2
+        again = cached.generate([prompt], max_new=8)[0]
+        assert again.token_ids.tolist() == first.token_ids.tolist()
+        st = cached.prefix_cache.stats()
+        assert st["spill_hits"] >= 2
+        assert st["held_refs"] == 0
+
     def test_long_prompt_page_hygiene(self, tiny_params):
         """Decode writes must stay in request-owned pages (never corrupt a
         shared prefix page): generating twice from the same prefix must give
