@@ -1009,7 +1009,7 @@ class TierEngine:
         reused. Page counts bucket to powers of two so repeated swaps reuse
         a handful of compiled gather graphs (role parity: vLLM's SWAP
         preemption, the capability the reference rents — SURVEY.md §2.8)."""
-        P = _bucket_pow2(max(len(pages), 1), 2, self.cache.n_pages)
+        P = _bucket_pow2(max(len(pages), 1), 2)
         idx = np.zeros((P,), np.int32)
         idx[: len(pages)] = pages
         blob = self._swap_gather_jit(self.cache, jnp.asarray(idx))

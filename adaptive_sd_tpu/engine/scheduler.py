@@ -341,6 +341,22 @@ class ContinuousBatchingScheduler:
                     return_topk=topk, top_ps=tps,
                 )
 
+        if self.preemption_mode == "swap":
+            # swap gather/scatter graphs per pow2 page-count bucket: the
+            # first preemption must not pay a mid-serving compile. Gather
+            # reads page 0 (harmless); restore targets the out-of-range
+            # page, so every write is dropped and state is untouched.
+            for P in self._pow2_lattice(
+                2, min(self.max_pages, self.engine.allocator.n_pages)
+            ):
+                blob = self._timed(
+                    "swap_out", (P,), self.engine.swap_out_pages, [0] * P
+                )
+                self._timed(
+                    "swap_in", (int(blob[0].shape[2]),),
+                    self.engine.swap_in_pages, [], blob,
+                )
+
         report = {
             "graphs": len(self._buckets),
             "wall_s": round(time.perf_counter() - t0, 3),

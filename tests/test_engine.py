@@ -910,6 +910,25 @@ class TestWarmup:
         cold = set(sched._buckets) - sched._warm_buckets
         assert not cold, f"traffic hit unwarmed graph buckets: {cold}"
 
+    def test_warmup_covers_swap_buckets(self, tiny_params):
+        """In swap mode the warmup lattice precompiles the gather/scatter
+        graphs, so a first preemption pays no mid-serving compile."""
+        from adaptive_sd_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+        eng = TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=4,
+                         use_pallas=False)
+        sched = ContinuousBatchingScheduler(
+            eng, max_batch=2, max_context=128, preemption_mode="swap",
+        )
+        sched.warmup(max_draft=8)
+        a = sched.submit([3, 14, 15, 9, 2, 6], max_new=30)
+        b = sched.submit([7, 8, 9, 1], max_new=30)
+        sched.run_until_idle()
+        assert a.done and b.done and not a.error and not b.error
+        assert sched.swap_preemptions >= 1
+        cold = set(sched._buckets) - sched._warm_buckets
+        assert not cold, f"swap traffic hit unwarmed graph buckets: {cold}"
+
     def test_warmup_leaves_generation_identical(self, tiny_params):
         from adaptive_sd_tpu.engine.scheduler import ContinuousBatchingScheduler
 
