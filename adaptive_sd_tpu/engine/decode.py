@@ -1013,14 +1013,30 @@ class TierEngine:
         idx = np.zeros((P,), np.int32)
         idx[: len(pages)] = pages
         blob = self._swap_gather_jit(self.cache, jnp.asarray(idx))
-        return tuple(np.asarray(x) for x in jax.device_get(blob))
+        # Slice the padded gather back to the real page count before handing
+        # the blob to the caller: callers account blob.nbytes against host
+        # swap/spill budgets, and the pow2 padding rows are duplicate copies
+        # of page 0 that would both over-charge the budget (up to 2x for a
+        # single-page spill) and hold dead host memory. swap_in_pages re-pads
+        # before the scatter, so graph bucketing is unaffected.
+        n = max(len(pages), 1)
+        return tuple(np.asarray(x)[:, :, :n] for x in jax.device_get(blob))
 
     def swap_in_pages(self, pages: list, blob: tuple) -> None:
         """Restore a ``swap_out_pages`` blob into (freshly granted) device
         pages — bit-exact: the resumed lane's attention reads identical
         quantized KV, so resumption after a swap preemption is numerically
         identical to never having been preempted."""
-        P = int(blob[0].shape[2])
+        n = int(blob[0].shape[2])
+        P = _bucket_pow2(n, 2)  # re-pad the compact blob to the graph bucket
+        if P > n:
+            blob = tuple(
+                np.concatenate(
+                    [b, np.zeros(b.shape[:2] + (P - n,) + b.shape[3:], b.dtype)],
+                    axis=2,
+                )
+                for b in (np.asarray(x) for x in blob)
+            )
         idx = np.full((P,), self.cache.n_pages, np.int32)  # padding: dropped
         idx[: len(pages)] = pages
         self.cache = self._swap_scatter_jit(

@@ -195,7 +195,16 @@ class PrefixCache:
                             self._spilled[key] = (blob, nbytes)  # keep it
                             self._spilled_bytes += nbytes
                             raise
-                        self._swap_in([page], blob)
+                        try:
+                            self._swap_in([page], blob)
+                        except Exception:
+                            # a device-op failure here would otherwise leave
+                            # the page allocated with no _entries record — a
+                            # permanent leak. Free it and re-shelve the blob.
+                            self.allocator.free_request(f"prefix:{key.hex()}")
+                            self._spilled[key] = (blob, nbytes)
+                            self._spilled_bytes += nbytes
+                            raise
                         self._entries[key] = _Entry(
                             key=key, page=page,
                             parent=keys[ci - 1] if ci else None, refs=1,
@@ -227,11 +236,12 @@ class PrefixCache:
                     pages.append(page)
                     held.append(key)
                     to_fill.append((key, page))
-            except ResourceError:
-                # unwind a partial acquisition (alloc pressure mid-chain):
-                # drop this call's refs and fresh entries, then re-raise —
-                # callers never learn about the partial holds (lock is held,
-                # so unwind inline rather than via release/invalidate)
+            except Exception:
+                # unwind a partial acquisition (alloc pressure mid-chain, or
+                # any device-op failure during a spill restore): drop this
+                # call's refs and fresh entries, then re-raise — callers
+                # never learn about the partial holds (lock is held, so
+                # unwind inline rather than via release/invalidate)
                 fill_keys = {k for k, _ in to_fill}
                 for key in held:
                     e = self._entries.get(key)

@@ -341,19 +341,33 @@ class ContinuousBatchingScheduler:
                     return_topk=topk, top_ps=tps,
                 )
 
-        if self.preemption_mode == "swap":
+        # Prefix-cache host spill also dispatches the swap gather/scatter
+        # (one page per eviction/restore -> the P=2 bucket) regardless of
+        # preemption_mode; warm it too or the first eviction pays a
+        # mid-serving compile through the remote-compile tunnel.
+        pc = getattr(self.engine, "prefix_cache", None)
+        spill_on = pc is not None and getattr(pc, "spill_bytes", 0) > 0
+        if self.preemption_mode == "swap" or spill_on:
             # swap gather/scatter graphs per pow2 page-count bucket: the
             # first preemption must not pay a mid-serving compile. Gather
             # reads page 0 (harmless); restore targets the out-of-range
             # page, so every write is dropped and state is untouched.
-            for P in self._pow2_lattice(
-                2, min(self.max_pages, self.engine.allocator.n_pages)
-            ):
+            # Keys use the PADDED bucket (_bucket_pow2, same as the runtime
+            # dispatch sites) so warm-coverage checks line up even when the
+            # lattice top is clamped to a non-pow2 page cap.
+            if self.preemption_mode == "swap":
+                lattice = self._pow2_lattice(
+                    2, min(self.max_pages, self.engine.allocator.n_pages)
+                )
+            else:  # spill only: single-page swaps
+                lattice = [2]
+            for P in lattice:
                 blob = self._timed(
-                    "swap_out", (P,), self.engine.swap_out_pages, [0] * P
+                    "swap_out", (_bucket_pow2(P, 2),),
+                    self.engine.swap_out_pages, [0] * P,
                 )
                 self._timed(
-                    "swap_in", (int(blob[0].shape[2]),),
+                    "swap_in", (_bucket_pow2(int(blob[0].shape[2]), 2),),
                     self.engine.swap_in_pages, [], blob,
                 )
 
@@ -529,7 +543,8 @@ class ContinuousBatchingScheduler:
                 # recompute, next_token/position/out_tokens kept as saved
                 pages = [int(p) for p in self._tables[lane, : req.swap_pages]]
                 self._timed(
-                    "swap_in", (int(req.swap_blob[0].shape[2]),),
+                    "swap_in",
+                    (_bucket_pow2(int(req.swap_blob[0].shape[2]), 2),),
                     self.engine.swap_in_pages, pages, req.swap_blob,
                 )
                 self._swap_bytes_held -= req.swap_bytes

@@ -45,7 +45,7 @@ def _mock_stages() -> StageManager:
     )
 
 
-def _synthetic_stages() -> StageManager:
+def _synthetic_stages(prefix_spill_bytes: int = 0) -> StageManager:
     import jax
 
     from adaptive_sd_tpu.engine import TierEngine
@@ -67,13 +67,14 @@ def _synthetic_stages() -> StageManager:
         spec = dataclasses.replace(scaled_spec(TINY128, layers=layers, name=name))
         params = quantize_model(fuse_projections(init_params(spec, jax.random.key(i))), bits=8)
         eng = TierEngine(spec, params, n_pages=256, use_pallas=False, cost_per_token=cost,
-                         enable_prefix_cache=True, prefix_spill_bytes=64 << 20)
+                         enable_prefix_cache=True,
+                         prefix_spill_bytes=prefix_spill_bytes)
         stages.append(EngineTextStage(eng, simple_tok, simple_detok, name=name,
                                       spec_topk=0 if i == 2 else 64))
     return StageManager(stages)
 
 
-def _real_stages(cascade_cfg_path: str) -> StageManager:
+def _real_stages(cascade_cfg_path: str, prefix_spill_bytes: int = 0) -> StageManager:
     import yaml
 
     from adaptive_sd_tpu.config import CascadeConfig
@@ -109,6 +110,7 @@ def _real_stages(cascade_cfg_path: str) -> StageManager:
             eos_id=tok.eos_token_id,
             cost_per_token=st.cost_per_token,
             enable_prefix_cache=st.prefix_cache,
+            prefix_spill_bytes=prefix_spill_bytes if st.prefix_cache else 0,
         )
         stages.append(
             EngineTextStage(
@@ -152,12 +154,16 @@ def main() -> None:
     host = args.host or serving.server.host
     port = args.port or serving.server.port
 
+    # ServerConfig.prefix_spill_mb drives the engines' host-spill budget for
+    # evicted prefix-cache pages (0 disables CPU KV offload).
+    spill_bytes = max(int(serving.server.prefix_spill_mb), 0) << 20
+
     def build_stages():
         if args.mock:
             return _mock_stages()
         if args.synthetic:
-            return _synthetic_stages()
-        return _real_stages(args.cascade_config)
+            return _synthetic_stages(spill_bytes)
+        return _real_stages(args.cascade_config, spill_bytes)
 
     stages = build_stages()
 

@@ -436,6 +436,32 @@ class TestSwapPreemption:
         for a, b in zip(snap, restored):
             assert np.array_equal(a, b)
 
+    def test_swap_blob_is_compact_for_non_pow2_counts(self, tiny_params):
+        """The gather pads page counts to pow2 for graph bucketing, but the
+        returned blob must be sliced back to the REAL page count: callers
+        account blob.nbytes against host swap/spill budgets, and a padded
+        single-page blob would charge 2x its footprint (and hold duplicate
+        page-0 copies in host memory). Round-trip must still be bit-exact
+        through the internal re-pad."""
+        eng = self._engine(tiny_params, n_pages=8)
+        pages = eng.allocator.alloc("r", 3)
+        tables = np.full((1, 4), eng.allocator.n_pages, np.int32)
+        tables[0, :3] = pages
+        toks = np.arange(1, 25, dtype=np.int32)[None, :] % TINY.vocab_size
+        eng.prefill_batch(jnp.asarray(toks), jnp.asarray([24]),
+                          jnp.asarray(tables))
+        blob = eng.swap_out_pages(list(pages))
+        assert all(int(b.shape[2]) == 3 for b in blob)  # compact, not 4
+        one = eng.swap_out_pages([int(pages[0])])
+        assert all(int(b.shape[2]) == 1 for b in one)   # compact, not 2
+        snap = [np.asarray(b).copy() for b in blob]
+        eng.prefill_batch(jnp.asarray(toks[:, ::-1].copy()), jnp.asarray([24]),
+                          jnp.asarray(tables))
+        eng.swap_in_pages(list(pages), blob)
+        restored = eng.swap_out_pages(list(pages))
+        for a, b in zip(snap, restored):
+            assert np.array_equal(a, b)
+
     @pytest.mark.parametrize("scan_steps", [1, 4])
     def test_swap_preempted_request_completes_identically(
         self, tiny_params, scan_steps

@@ -317,6 +317,54 @@ class TestPrefixCache:
         assert [device[p] for p in pages2] == [saved[p] for p in pages]
         pc.release(held2)
 
+    def test_unit_spill_restore_failure_leaks_nothing(self):
+        """A non-ResourceError from the device swap-in during a spill-hit
+        restore must free the just-allocated page, re-shelve the blob, and
+        unwind earlier refs of the same acquire — no permanent page leak
+        (advisor r3): the retry after the fault succeeds with full reuse."""
+        from adaptive_sd_tpu.engine.allocator import PageAllocator
+        from adaptive_sd_tpu.engine.prefix_cache import PrefixCache
+
+        import numpy as np
+
+        device = {}
+        fail = {"on": False}
+
+        def swap_out(pages):
+            return (np.asarray([device.get(p, 0) for p in pages]),)
+
+        def swap_in(pages, blob):
+            if fail["on"]:
+                raise RuntimeError("injected device fault")
+            for p, v in zip(pages, blob[0]):
+                device[p] = int(v)
+
+        alloc = PageAllocator(16)
+        pc = PrefixCache(alloc, page_size=4, spill_bytes=1 << 20,
+                         swap_out=swap_out, swap_in=swap_in)
+        prompt = list(range(1, 11))  # 2 full chunks
+        pages, _, held, _ = pc.acquire(prompt)
+        for p in pages:
+            device[p] = 100 + p
+        pc.release(held)
+        while pc.evict_one():
+            pass
+        assert pc.stats()["spilled_entries"] == 2
+        fail["on"] = True
+        try:
+            pc.acquire(prompt)
+            raise AssertionError("expected injected fault to propagate")
+        except RuntimeError:
+            pass
+        # nothing held, nothing allocated, blobs back on the shelf
+        assert pc.stats()["held_refs"] == 0
+        assert alloc.stats().free_pages == 16
+        assert pc.stats()["spilled_entries"] == 2
+        fail["on"] = False
+        pages2, n2, held2, fill2 = pc.acquire(prompt)
+        assert n2 == 8 and not fill2
+        pc.release(held2)
+
     def test_unit_spill_budget_is_lru_bounded(self):
         from adaptive_sd_tpu.engine.allocator import PageAllocator
         from adaptive_sd_tpu.engine.prefix_cache import PrefixCache
