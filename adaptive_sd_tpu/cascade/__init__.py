@@ -5,6 +5,7 @@ from .cost_optimizer import (
     LoadPredictor,
     OptimizerTargets,
     PerformanceMonitor,
+    QualityGateController,
 )
 from .pipeline import AdaptiveCascadePipeline, PipelineConfig
 from .router import ReplicaRouter, build_replica_set

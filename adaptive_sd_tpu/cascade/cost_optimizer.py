@@ -102,6 +102,116 @@ class LoadPredictor:
         return max(0.5 * profile + 0.5 * trend, 0.0)
 
 
+class QualityGateController:
+    """Population-level lambda controller: stochastic dual ascent on the
+    quality-gate constraint.
+
+    The per-request DP is the Lagrangian of "min cost s.t. quality >= gate"
+    with lambda as the dual variable (policy/dp.py: V[0] minimises
+    (1 - E[quality]) + lam * E[cost]). A FIXED lambda can only hit points on
+    the dual path; the gate-constrained optimum is the lambda whose induced
+    mean quality sits exactly ON the gate — any slack above the gate is
+    speed left on the table, any breach is a violated SLO. This controller
+    finds that lambda online, with no sweep and no held-out selection set:
+
+        q_ema  <- (1 - a) * q_ema + a * q_observed
+        lambda <- clip(lambda * exp(lr * (q_ema - target)), lo, hi)
+
+    Observed quality above the target exponentially raises lambda (stop
+    earlier, cheaper); below the target lowers it (escalate more). The
+    multiplicative update is projected gradient ascent on the dual in
+    log-space — scale-free over the decades lambda spans, and convergent to
+    the complementary-slackness point for the (monotone) quality-vs-lambda
+    response the DP induces.
+
+    ``q_observed`` is whatever per-request quality signal serving has: the
+    predictor's accepted-stage score (acceptance_probs[-1], the signal
+    :class:`DynamicCostOptimizer` already monitors), a self-evaluation, or
+    offline ground truth when replaying. Reference analog: the reference
+    tunes lambda by offline sweep only (experiments/evaluate_pipeline.py);
+    an online dual controller is what its DynamicCostOptimizer gestures at
+    with hand-rules (src/serving/dynamic_cost_optimizer.py:425-487).
+    """
+
+    def __init__(
+        self,
+        target_quality: float,
+        *,
+        lam0: float = 1.0,
+        lr: float = 0.5,
+        ema_alpha: float = 0.05,
+        lam_bounds: tuple[float, float] = (0.01, 100.0),
+        warmup_obs: int = 10,
+    ) -> None:
+        if not 0.0 < target_quality <= 1.0:
+            raise ValueError(f"target_quality must be in (0, 1], got {target_quality}")
+        self.target = float(target_quality)
+        self.lam = float(lam0)
+        self.lr = float(lr)
+        self.ema_alpha = float(ema_alpha)
+        self.lo, self.hi = lam_bounds
+        self.warmup_obs = int(warmup_obs)
+        self.n_obs = 0
+        self.q_ema = float(target_quality)  # neutral start: no step at init
+        self._lock = threading.Lock()
+
+    def update(self, quality: float) -> float:
+        """Fold one observed per-request quality in; returns the new lambda.
+
+        ``quality`` may be an UNBIASED estimate rather than a bounded score
+        — e.g. a debiased noisy-observation bit ``(o - eps) / (1 - 2 eps)``
+        lands outside [0, 1] by construction. Clipping to [0, 1] would
+        re-bias the estimator (the mean of clipped debiased bits is NOT the
+        true quality) and the controller would converge to the wrong gate;
+        only a wide sanity clamp is applied, the EMA does the averaging."""
+        q = min(max(float(quality), -1.0), 2.0)
+        with self._lock:
+            self.n_obs += 1
+            # early observations dominate the EMA (1/n averaging) so the
+            # controller doesn't chase its neutral-start prior
+            a = max(self.ema_alpha, 1.0 / self.n_obs)
+            self.q_ema += a * (q - self.q_ema)
+            if self.n_obs >= self.warmup_obs:
+                self.lam = float(np.clip(
+                    self.lam * np.exp(self.lr * (self.q_ema - self.target)),
+                    self.lo, self.hi,
+                ))
+            return self.lam
+
+    def attach(self, pipeline, *, quality_of=None) -> None:
+        """Close the loop on a live pipeline: every completed request's
+        quality signal updates lambda via ``pipeline.update_lambda``.
+        ``quality_of(result) -> float | None`` extracts the signal (default:
+        the accepted stage's predictor score)."""
+        if quality_of is None:
+            def quality_of(result):
+                d = getattr(result, "decision", None)
+                if d is not None and d.acceptance_probs:
+                    return float(d.acceptance_probs[-1])
+                return None
+
+        def _observe(result) -> None:
+            if getattr(result, "error", None):
+                return
+            q = quality_of(result)
+            if q is None:
+                return
+            lam = self.update(q)
+            if abs(lam - pipeline.lam) / max(pipeline.lam, 1e-9) > 1e-3:
+                pipeline.update_lambda(lam)
+
+        pipeline.add_observer(_observe)
+
+    def state(self) -> dict:
+        with self._lock:
+            return {
+                "lambda": self.lam,
+                "quality_ema": self.q_ema,
+                "target": self.target,
+                "n_obs": self.n_obs,
+            }
+
+
 class DynamicCostOptimizer:
     """Periodic re-optimisation of lambda and per-stage cost multipliers
     driven by real metrics (reference :181-533)."""

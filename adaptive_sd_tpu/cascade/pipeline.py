@@ -609,19 +609,18 @@ class AdaptiveCascadePipeline:
             for out, r in zip(outs, ready):
                 req = requests[r]
                 lam = lam_of(r)
-                if is_last:
-                    p_raw, pred = 1.0, None
-                else:
-                    pred = self.predictor.predict(req.prompt, out.text, out.logprobs, i)
-                    p_raw = float(np.clip(pred.quality_score, 0.0, 1.0))
+                # Honest score for EVERY tier including the last — exactly
+                # the single-request path (process_request). Pinning the top
+                # tier to 1.0 here would (a) disable futility stopping for
+                # batched requests and (b) poison _obs_sum with 1.0s, the
+                # failure mode the comment at the single-request scoring
+                # block warns about.
+                pred = self.predictor.predict(req.prompt, out.text, out.logprobs, i)
+                p_raw = float(np.clip(pred.quality_score, 0.0, 1.0))
                 raw_probs[r].append(p_raw)
-                p_adj = (
-                    1.0
-                    if is_last
-                    else bayesian_adjustment(
-                        p_raw, int(self._obs_n[i]),
-                        alpha=self.config.risk_alpha, beta=self.config.risk_beta,
-                    )
+                p_adj = bayesian_adjustment(
+                    p_raw, int(self._obs_n[i]),
+                    alpha=self.config.risk_alpha, beta=self.config.risk_beta,
                 )
                 probs[r].append(p_adj)
                 visited_idx[r].append(i)
@@ -657,6 +656,12 @@ class AdaptiveCascadePipeline:
                     )
                 else:
                     nxt_tier[r] = self._next_tier(i, k_star, p0s[r])
+                    # single-path parity: hopeless drafts are not carried
+                    # into the next tier's verify (a ~0-acceptance verify
+                    # pass costs more than a plain prompt-only prefill)
+                    if p_raw < self.config.min_draft_quality_for_verify:
+                        drafts.pop(r, None)
+                        drafts_q.pop(r, None)
             active = [r for r in active if r not in stopped]
 
         latency = time.perf_counter() - t0

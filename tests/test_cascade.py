@@ -351,6 +351,66 @@ class TestDynamicCostOptimizer:
         assert f > 10.0  # rising trend extrapolates upward
 
 
+class TestQualityGateController:
+    """Population-level dual ascent on the quality-gate constraint
+    (cost_optimizer.QualityGateController): lambda converges to the point
+    where induced mean quality sits ON the gate — spending aggregate quality
+    slack the way the gate-constrained oracle does, which a fixed lambda
+    cannot (VERDICT r3 next #1b)."""
+
+    @staticmethod
+    def _world(lam: float) -> float:
+        """Synthetic monotone quality-vs-lambda response: higher lambda ->
+        earlier stopping -> lower quality."""
+        import math
+
+        return 1.0 / (1.0 + math.exp(2.0 * (math.log(lam) - math.log(0.6))))
+
+    def test_converges_to_gate(self):
+        from adaptive_sd_tpu.cascade import QualityGateController
+
+        import numpy as np
+
+        target = 0.7
+        ctl = QualityGateController(target, lam0=5.0, lr=0.8, ema_alpha=0.05)
+        rng = np.random.default_rng(0)
+        for _ in range(3000):
+            q = float(rng.random() < self._world(ctl.lam))  # noisy binary
+            ctl.update(q)
+        st = ctl.state()
+        assert abs(st["quality_ema"] - target) < 0.05
+        # the world's exact dual point for quality == 0.7:
+        lam_star = 0.6 * np.exp(-0.5 * np.log(target / (1 - target)))
+        assert abs(np.log(st["lambda"] / lam_star)) < 0.5
+
+    def test_slack_raises_lambda_breach_lowers_it(self):
+        from adaptive_sd_tpu.cascade import QualityGateController
+
+        up = QualityGateController(0.5, lam0=1.0, warmup_obs=1)
+        for _ in range(50):
+            up.update(1.0)   # quality far above the gate: slack
+        assert up.lam > 1.0
+        down = QualityGateController(0.5, lam0=1.0, warmup_obs=1)
+        for _ in range(50):
+            down.update(0.0)  # breach
+        assert down.lam < 1.0
+
+    def test_attach_drives_pipeline_lambda(self, stages, predictor):
+        from adaptive_sd_tpu.cascade import QualityGateController
+
+        pipe = AdaptiveCascadePipeline(
+            stages, predictor, PipelineConfig(lam=1.0, enable_caching=False)
+        )
+        ctl = QualityGateController(0.2, lam0=1.0, lr=1.0, warmup_obs=1)
+        ctl.attach(pipe)
+        for i in range(12):
+            pipe.process_request(RequestContext(prompt=f"easy question {i}"))
+        # the mock predictor scores well above the 0.2 target -> slack ->
+        # the observer loop must have raised the live pipeline lambda
+        assert pipe.lam > 1.0
+        assert ctl.state()["n_obs"] >= 12
+
+
 class TestBatchSpeculativeEscalation:
     def test_batch_uses_verify_path(self, predictor):
         import jax
@@ -706,6 +766,52 @@ class TestPromptConditionalRouting:
         res = pipe.process_request(RequestContext(prompt="impossible ask"))
         assert res.error is None
         assert [sr.stage_index for sr in res.stage_results] == [0]
+
+    def test_batch_process_futility_parity_with_single_path(self):
+        """batch_process shares the honest per-stage scoring with
+        process_request (VERDICT r3 weak #4: the batch path used to pin the
+        last stage to 1.0, disabling futility stopping and poisoning
+        _obs_sum): on a futility workload the batch route must equal the
+        single-request route, and a batch visit to the top tier must record
+        the honest score, not 1.0."""
+        def make():
+            return AdaptiveCascadePipeline(
+                self._stages(), self._PromptAware([0.02, 0.03, 0.05]),
+                PipelineConfig(lam=1.0, enable_caching=False,
+                               risk_alpha=1e-6, risk_beta=1e-6),
+            )
+
+        prompts = ["impossible ask one", "impossible ask two"]
+        single = make()
+        routes_single = [
+            [sr.stage_index for sr in
+             single.process_request(RequestContext(prompt=p)).stage_results]
+            for p in prompts
+        ]
+        batched = make()
+        results = batched.batch_process(
+            [RequestContext(prompt=p) for p in prompts]
+        )
+        routes_batch = [
+            [sr.stage_index for sr in r.stage_results] for r in results
+        ]
+        assert routes_batch == routes_single == [[0], [0]]
+
+        # force a top-tier visit through the batch path: honest terminal
+        # score lands in the running priors (not a pinned 1.0)
+        pipe = AdaptiveCascadePipeline(
+            self._stages(), self._PromptAware([0.05, 0.1, 0.2],
+                                              [0.05, 0.1, 0.4]),
+            PipelineConfig(lam=0.05, enable_caching=False,
+                           risk_alpha=1e-6, risk_beta=1e-6),
+        )
+        res = pipe.batch_process(
+            [RequestContext(prompt="very hard proof")]
+        )[0]
+        assert res.error is None
+        last = pipe.n_stages - 1
+        assert pipe._obs_n[last] == 1
+        assert pipe._obs_sum[last] == pytest.approx(0.4)
 
     def test_last_stage_scored_honestly_in_running_priors(self):
         """Visiting the last stage records the predictor's honest score in
