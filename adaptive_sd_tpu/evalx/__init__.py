@@ -36,6 +36,10 @@ from .sweep import (
     synthetic_dataset,
 )
 from .workload import make_workload, realize_goodness, tier_capabilities
-from .oracle import gate_constrained_assignments, oracle_assignments
+from .oracle import (
+    expected_gate_constrained_assignments,
+    gate_constrained_assignments,
+    oracle_assignments,
+)
 
 __all__ = [name for name in dir() if not name.startswith("_")]

@@ -67,3 +67,54 @@ def gate_constrained_assignments(
         ks[i] = 0
         budget -= 1.0
     return ks
+
+
+def expected_gate_constrained_assignments(
+    p: np.ndarray,
+    stage_times: np.ndarray,
+    quality_gate_mean: float,
+    *,
+    n_mu: int = 400,
+) -> np.ndarray:
+    """Max-speed direct routing on EXPECTED per-tier quality subject to
+    ``mean_i p[i, k_i] >= quality_gate_mean``.
+
+    ``p``: [n_items, n_tiers] per-tier solve probabilities — the most any
+    policy that knows the world's PROBABILITIES (but not its realizations)
+    can exploit. The gap between this ceiling and the realized-goodness
+    ceiling (:func:`gate_constrained_assignments`) is ALEATORIC: information
+    only an oracle that has seen the coin flips can use. The gap between a
+    learned policy and THIS ceiling is predictor/policy loss — the part a
+    better decision layer can close (VERDICT r3 next #1a decomposition).
+
+    Solved by sweeping the dual variable mu of the Lagrangian
+    ``min_k t[k] - mu * p[i, k]`` (per-item, so the sweep is exact on the
+    convex hull of the feasible frontier) and keeping the fastest feasible
+    assignment; a final greedy promote pass (best dq/dt) repairs the at-most-
+    one-item hull gap if no mu is feasible.
+    """
+    p = np.asarray(p, np.float64)
+    t = np.asarray(stage_times, np.float64)
+    n, m = p.shape
+    best_ks, best_t = None, np.inf
+    for mu in np.geomspace(1e-4, 1e4, n_mu):
+        ks = np.argmin(t[None, :] - mu * p, axis=1)
+        if p[np.arange(n), ks].mean() >= quality_gate_mean:
+            tm = float(t[ks].mean())
+            if tm < best_t:
+                best_ks, best_t = ks, tm
+    if best_ks is not None:
+        return best_ks
+    # no dual point feasible: promote greedily from the all-cheapest start
+    ks = np.zeros(n, np.int64)
+    while p[np.arange(n), ks].mean() < quality_gate_mean:
+        dq = np.where(ks[:, None] < np.arange(m)[None, :],
+                      p - p[np.arange(n), ks][:, None], -np.inf)
+        dt = np.maximum(t[None, :] - t[ks][:, None], 1e-12)
+        ratio = dq / dt
+        i, k = np.unravel_index(np.argmax(ratio), ratio.shape)
+        if not np.isfinite(ratio[i, k]) or ratio[i, k] <= 0:
+            ks[:] = m - 1  # gate unattainable below always-largest
+            break
+        ks[i] = k
+    return ks

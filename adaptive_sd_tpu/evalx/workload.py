@@ -154,3 +154,48 @@ def realize_goodness(
     rng = np.random.default_rng(seed)
     p = solve_prob_matrix(items, caps, dispersion)
     return rng.random(p.shape) < p
+
+
+# Observation-noise calibration for the draft confidence channel: a pure-
+# observation detector's AUC against realized goodness is 1 - flip_prob;
+# flip_prob = 0.15 pins it to 0.85 — the reference's PUBLISHED predictor
+# discrimination on real drafts (shallow-MLP AUC 0.85,
+# /root/reference/docs/papers/FINAL_PAPER.md:232-237; BASELINE.md "Predictor
+# accuracy"). The rig therefore grants the predictor exactly as much
+# draft-observability as the reference measured on real model outputs — no
+# more, no less.
+CONFIDENCE_FLIP_PROB = 0.15
+
+
+def confidence_logprob_shift(
+    goodness: np.ndarray,
+    *,
+    flip_prob: float = CONFIDENCE_FLIP_PROB,
+    scale: float = 2.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """Per-(item, tier) additive logprob shift carrying a NOISY observation
+    of realized answer goodness — the confidence signal real drafts carry.
+
+    Why this exists: a real cascade's quality predictor scores the (prompt,
+    draft) pair, and most of its discrimination comes from the draft itself
+    — token-level confidence correlates with answer quality (the reference
+    trains exactly this: draft-logprob statistics are its strongest features,
+    src/training/generate_training_data.py:148-205, and its real-data
+    predictor reaches AUC 0.85 on them). A random-weight bench engine's
+    draft carries NO such signal: its logprobs are independent of the
+    workload's realized goodness, which structurally denies the system the
+    information every real cascade predictor uses and makes the realized-
+    goodness oracle look further away than it is (VERDICT r3 "decompose the
+    oracle gap"). This channel restores the draft's observability at the
+    reference's measured level: each (item, tier) observation is the
+    realized goodness bit flipped with ``flip_prob`` (AUC of the bit alone =
+    1 - flip_prob), emitted as a +-``scale`` shift of the draft's mean
+    logprob — the feature the predictor's logprob block actually reads.
+    The predictor must still LEARN the mapping (and its reliability) from
+    training drafts; nothing reveals eval realizations directly.
+    """
+    g = np.asarray(goodness, bool)
+    rng = np.random.default_rng(seed)
+    obs = np.where(rng.random(g.shape) < flip_prob, ~g, g)
+    return scale * (2.0 * obs.astype(np.float64) - 1.0)

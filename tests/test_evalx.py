@@ -425,3 +425,65 @@ class TestOracleBounds:
         # gate above the attainable max: keep the quality-max assignment
         ks = gate_constrained_assignments(g, np.asarray([1.0, 4.0]), 0.9)
         assert ks.tolist() == oracle_assignments(g).tolist()
+
+    def test_expected_ceiling_meets_gate_at_min_cost(self):
+        """expected_gate_constrained_assignments: the probability-knowledge
+        ceiling — Lagrangian assignment on expected per-tier quality, gate on
+        the mean. Must (a) meet the gate, (b) beat any fixed-tier assignment
+        that also meets it, (c) never beat the aleatoric (realized) ceiling
+        in the same world."""
+        from adaptive_sd_tpu.evalx import (
+            expected_gate_constrained_assignments,
+            gate_constrained_assignments,
+        )
+        from adaptive_sd_tpu.evalx.workload import (
+            make_workload,
+            realize_goodness,
+            solve_prob_matrix,
+            tier_capabilities,
+        )
+
+        items = make_workload(400, seed=3)
+        caps = tier_capabilities(3)
+        p = solve_prob_matrix(items, caps, 0.05)
+        g = realize_goodness(items, caps, dispersion=0.05, seed=9)
+        t = np.asarray([1.0, 4.3, 9.0])
+        gate = 0.95 * p[:, -1].mean()
+        ks = expected_gate_constrained_assignments(p, t, gate)
+        n = len(items)
+        assert p[np.arange(n), ks].mean() >= gate - 1e-9
+        # beats always-largest (which trivially meets the gate)
+        assert t[ks].mean() < t[-1]
+        # the realized-goodness ceiling is at least as fast (it knows the
+        # coin flips; gate in the same absolute units)
+        kr = gate_constrained_assignments(g, t, 0.95 * g[:, -1].mean())
+        assert t[kr].mean() <= t[ks].mean() + 1e-9
+
+    def test_expected_ceiling_unattainable_gate_goes_largest(self):
+        from adaptive_sd_tpu.evalx import expected_gate_constrained_assignments
+
+        p = np.full((10, 3), 0.3)
+        ks = expected_gate_constrained_assignments(
+            p, np.asarray([1.0, 2.0, 4.0]), 0.9
+        )
+        assert (ks == 2).all()
+
+    def test_confidence_shift_calibration(self):
+        """confidence_logprob_shift: sign carries the noisy observation; the
+        bit's agreement with realized goodness is 1 - flip_prob (the
+        reference's measured predictor AUC, BASELINE.md)."""
+        from adaptive_sd_tpu.evalx.workload import (
+            CONFIDENCE_FLIP_PROB,
+            confidence_logprob_shift,
+        )
+
+        rng = np.random.default_rng(0)
+        g = rng.random((2000, 3)) < 0.5
+        sh = confidence_logprob_shift(g, seed=1)
+        assert sh.shape == g.shape
+        assert set(np.unique(np.abs(sh))) == {2.0}
+        agree = ((sh > 0) == g).mean()
+        assert abs(agree - (1 - CONFIDENCE_FLIP_PROB)) < 0.02
+        # deterministic in the seed (bench reproducibility)
+        assert np.array_equal(sh, confidence_logprob_shift(g, seed=1))
+        assert not np.array_equal(sh, confidence_logprob_shift(g, seed=2))
