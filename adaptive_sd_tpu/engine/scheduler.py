@@ -1116,6 +1116,16 @@ class ContinuousBatchingScheduler:
         free = sum(r is None for r in self._lanes)
         return max(free - self._queue.qsize() - len(self._resume), 0)
 
+    def backlogged(self) -> bool:
+        """True when queued work exceeds free lanes — the tier cannot absorb
+        its queue in the next admission window, i.e. the system is saturated
+        rather than bursting. Speculative prefetch keys off this: on shared
+        hardware a prefetch prefill steals device time from EVERY tier, so
+        it must fire only when no tier is running a backlog (approximate,
+        lock-free — callers treat it as a hint)."""
+        free = sum(r is None for r in self._lanes)
+        return self._queue.qsize() + len(self._resume) > free
+
     def stats(self) -> dict:
         occ = sum(r is not None for r in self._lanes)
         return {

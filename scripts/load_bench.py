@@ -117,8 +117,17 @@ def main() -> None:
     def build_stages():
         stages = []
         if args.tpu:
-            tiers = [("qwen2.5-7b", 2), ("qwen2.5-32b", 2), ("qwen2.5-72b", 2)]
-            for i, (base, layers) in enumerate(tiers):
+            # Per-tier depths chosen so the MEASURED step-time ratios
+            # approximate the projected full-depth cascade economics within
+            # one chip's memory (VERDICT r3 next #3: equal-depth tiers gave
+            # ratios ~[1, 1, 1.3], so the router's under-load behavior said
+            # nothing about the real system; per-layer times 0.43/0.81/1.36
+            # ms give [1, ~3, ~6] at depths 2/5/8 — clearing the >= [1, 2.5,
+            # 5] target). The 72B tier's page pool is trimmed to fit.
+            tiers = [("qwen2.5-7b", 2, n_pages),
+                     ("qwen2.5-32b", 5, n_pages),
+                     ("qwen2.5-72b", 8, max(n_pages * 3 // 4, 64))]
+            for i, (base, layers, np_i) in enumerate(tiers):
                 spec = dataclasses.replace(
                     scaled_spec(get_spec(base), layers=layers,
                                 name=f"load-{base}-l{layers}"),
@@ -126,7 +135,7 @@ def main() -> None:
                 )
                 params = init_params_quantized(spec, jax.random.key(i), bits=8)
                 eng = TierEngine(spec, params, page_size=page_size,
-                                 n_pages=n_pages,
+                                 n_pages=np_i,
                                  use_pallas=on_dev, enable_prefix_cache=True,
                                  prefix_spill_bytes=args.prefix_spill_mb << 20)
                 stages.append(EngineTextStage(eng, tok, detok, name=base,
@@ -271,6 +280,7 @@ def main() -> None:
                 "swap_preemptions": int(
                     sum(s.get("swap_preemptions", 0) for s in scheds)),
                 "prefetches": int(stats.get("prefetches", 0)),
+                "prefetch_suppressed": int(stats.get("prefetch_suppressed", 0)),
                 "errors": stats["errors"],
                 "dispatch_per_tier": dispatch,
                 "cold_graph_buckets": cold,

@@ -4,6 +4,8 @@ exact output equivalence with the fused AdaptiveCascadePipeline at
 temperature 0 (greedy decoding is deterministic, so both execution planes
 must produce identical text)."""
 
+import time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -636,6 +638,42 @@ class TestSpeculativePrefetch:
                 RequestContext(prompt="easy question", max_tokens=6), timeout=120)
             assert res.error is None
             assert pipe.get_stats().get("prefetches", 0) == 0
+        finally:
+            pipe.shutdown()
+
+    def test_prefetch_suppressed_under_saturation(self):
+        """On shared hardware a prefetch prefill steals device time from
+        every tier, so when ANY tier runs a backlog beyond its free lanes
+        the prefetch must self-suppress (measured under saturating load,
+        always-on prefetch lowered throughput and raised p99)."""
+        pipe, stages = self._pipe([0.2, 0.9], prefetch=True)
+        try:
+            # flood tier 0's queue without starting the dispatch thread:
+            # queued work > free lanes -> backlogged() -> prefetch skipped
+            sched0 = pipe.schedulers[0]
+            for j in range(sched0.max_batch + 2):
+                sched0.submit([1, 2, 3], max_new=2, request_id=f"flood{j}")
+            assert sched0.backlogged()
+            pipe._maybe_prefetch(
+                RequestContext(prompt="escalate this please " * 6,
+                               max_tokens=8),
+                tier=1, score=0.0,
+            )
+            stats = pipe.get_stats()
+            assert stats.get("prefetches", 0) == 0
+            assert stats.get("prefetch_suppressed", 0) == 1
+            # with the backlog drained the same call fires
+            pipe.start()
+            deadline = time.time() + 60
+            while sched0.backlogged() and time.time() < deadline:
+                time.sleep(0.01)
+            assert not sched0.backlogged()
+            pipe._maybe_prefetch(
+                RequestContext(prompt="escalate this please " * 6,
+                               max_tokens=8),
+                tier=1, score=0.0,
+            )
+            assert pipe.get_stats().get("prefetches", 0) == 1
         finally:
             pipe.shutdown()
 
