@@ -103,12 +103,23 @@ class OptimizationConfig(BaseConfig):
     quality_critical_patterns: tuple[str, ...] = (
         r"\bmedical\b", r"\blegal\b", r"\bsafety\b",
     )
+    # Online dual-ascent lambda controller (cost_optimizer.
+    # QualityGateController): adapt lambda per request until mean observed
+    # quality sits ON quality_gate_target — spends aggregate quality slack
+    # the way the gate-constrained oracle does, with no offline sweep.
+    # 0 disables. quality_gate_lr is the dual step size in log-lambda.
+    quality_gate_target: float = 0.0
+    quality_gate_lr: float = 0.03
 
     def validate(self) -> None:
         if not 0.01 <= self.lambda_value <= 100:
             raise ConfigurationError("lambda_value must be in [0.01, 100]")
         if self.strategy not in [k.value for k in OptimizationStrategyKind]:
             raise ConfigurationError(f"unknown strategy {self.strategy}")
+        if not 0.0 <= self.quality_gate_target <= 1.0:
+            raise ConfigurationError(
+                "quality_gate_target must be in [0, 1] (0 disables)"
+            )
 
 
 @dataclass

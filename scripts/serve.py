@@ -215,6 +215,17 @@ def main() -> None:
         )
     else:
         pipeline = make_pipeline(stages)
+    # Online dual-ascent lambda controller: holds mean observed quality ON
+    # the configured gate by adapting lambda per completed request
+    # (cost_optimizer.QualityGateController; 0 disables).
+    if getattr(serving.optimization, "quality_gate_target", 0.0) > 0.0:
+        from adaptive_sd_tpu.cascade import QualityGateController
+
+        QualityGateController(
+            serving.optimization.quality_gate_target,
+            lam0=serving.optimization.lambda_value,
+            lr=serving.optimization.quality_gate_lr,
+        ).attach(pipeline)
     optimizer = None
     if serving.optimization.enable_dynamic_cost:
         optimizer = DynamicCostOptimizer(
