@@ -406,6 +406,48 @@ class TestPreemption:
         sched.stop()
 
 
+class TestFetchHost:
+    """_fetch_host: single-round-trip packed device->host fetch (through the
+    remote-dispatch tunnel each device_get LEAF pays a full round trip; the
+    serving hot paths fetch 3-6 leaves per dispatch). Must be bit-exact for
+    int32 (lossless bitcast), exact for bool and f32, and preserve the tree
+    structure including None and empty tuples."""
+
+    def test_roundtrip_exact(self):
+        from adaptive_sd_tpu.engine.decode import _fetch_host
+
+        rng = np.random.default_rng(0)
+        toks = jnp.asarray(rng.integers(-(2**31), 2**31 - 1, (4, 7),
+                                        dtype=np.int32))
+        lps = jnp.asarray(rng.normal(size=(4, 7)).astype(np.float32))
+        flags = jnp.asarray(rng.random(4) < 0.5)
+        tree = (toks, lps, flags, None, (jnp.asarray([3], np.int32),), ())
+        out = _fetch_host(tree)
+        assert np.array_equal(out[0], np.asarray(toks))
+        assert out[0].dtype == np.int32
+        assert np.array_equal(out[1], np.asarray(lps))
+        assert np.array_equal(out[2], np.asarray(flags))
+        assert out[2].dtype == bool
+        assert out[3] is None
+        assert out[4][0].tolist() == [3]
+        assert out[5] == ()
+
+    def test_single_leaf_passthrough(self):
+        from adaptive_sd_tpu.engine.decode import _fetch_host
+
+        x = jnp.arange(5, dtype=jnp.int32)
+        assert np.array_equal(_fetch_host((x,))[0], np.arange(5))
+
+    def test_packer_cache_reused(self):
+        from adaptive_sd_tpu.engine.decode import _FETCH_PACKERS, _fetch_host
+
+        a = (jnp.zeros((2, 3), jnp.int32), jnp.ones((2,), jnp.float32))
+        _fetch_host(a)
+        n0 = len(_FETCH_PACKERS)
+        _fetch_host(a)  # same signature: no new packer
+        assert len(_FETCH_PACKERS) == n0
+
+
 class TestSwapPreemption:
     """Swap-mode preemption: the page-pressure victim's live KV pages are
     copied to host memory and restored bit-exactly at re-admission — no
