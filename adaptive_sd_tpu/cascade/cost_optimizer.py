@@ -182,7 +182,22 @@ class QualityGateController:
         """Close the loop on a live pipeline: every completed request's
         quality signal updates lambda via ``pipeline.update_lambda``.
         ``quality_of(result) -> float | None`` extracts the signal (default:
-        the accepted stage's predictor score)."""
+        the accepted stage's predictor score).
+
+        BIAS WARNING on the default signal: ``acceptance_probs[-1]`` is the
+        predictor score of the stage the DP chose to stop at — selection-
+        biased UPWARD, because the DP stops exactly where the score clears
+        its threshold. A loop regulating this optimistic proxy will sit
+        BELOW the true quality gate. For production gate targets feed an
+        unbiased per-request signal instead: a debiased observation bit
+        (bench.py's dual-controller row divides out the known flip rate) or
+        an independent self-evaluation. The default exists for smoke use
+        and for targets calibrated against the same proxy.
+
+        Attaching also marks the pipeline (``_quality_gate_controller``) so
+        :class:`DynamicCostOptimizer` yields lambda actuation to this
+        controller instead of fighting it (two uncoordinated actuators on
+        one dual variable cannot hold the gate)."""
         if quality_of is None:
             def quality_of(result):
                 d = getattr(result, "decision", None)
@@ -201,6 +216,7 @@ class QualityGateController:
                 pipeline.update_lambda(lam)
 
         pipeline.add_observer(_observe)
+        pipeline._quality_gate_controller = self
 
     def state(self) -> dict:
         with self._lock:
@@ -313,6 +329,18 @@ class DynamicCostOptimizer:
 
         new_lam = float(np.clip(new_lam, 0.1, 10.0))           # reference :425-487
         mults = np.clip(mults, 0.5, 3.0)                        # reference :357-423
+
+        # Lambda has at most ONE actuator: when a QualityGateController is
+        # attached (cost_optimizer.QualityGateController.attach marks the
+        # pipeline), it owns lambda and this optimizer keeps only its
+        # cost-multiplier role — two uncoordinated controllers on the same
+        # dual variable fight and neither holds its target.
+        gate_owns_lambda = (
+            getattr(self.pipeline, "_quality_gate_controller", None) is not None
+        )
+        if gate_owns_lambda and abs(new_lam - lam) > 1e-9:
+            actions.append("lambda actuation skipped: quality-gate controller attached")
+            new_lam = lam
 
         with self._lock:
             if abs(new_lam - lam) > 1e-9:

@@ -177,9 +177,11 @@ class ServerConfig(BaseConfig):
     preemption_mode: str = "recompute"
     max_swap_mb: int = 256
     # Host-spill budget (MiB) for evicted prefix-cache pages (CPU KV
-    # offload); 0 disables. Consumed by the stage builders in
-    # scripts/serve.py (TierEngine prefix_spill_bytes = this << 20).
-    prefix_spill_mb: int = 64
+    # offload); 0 disables (the default — host spill and its warmup
+    # compiles are OPT-IN; configs/serving.yaml enables 64 MiB). Consumed
+    # by the stage builders in scripts/serve.py (TierEngine
+    # prefix_spill_bytes = this << 20).
+    prefix_spill_mb: int = 0
 
     def validate(self) -> None:
         if not 1 <= self.port <= 65535:

@@ -79,6 +79,16 @@ def _fetch_host(tree):
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     if len(leaves) <= 1:
         return jax.device_get(tree)
+    # Loud failure outside the supported set: int64/uint32/int8 leaves would
+    # round-trip through f32 with silent value truncation above 2^24. New
+    # call sites must extend the packer (bitcast like int32) instead.
+    supported = {"bool", "int32", "float32", "bfloat16", "float16"}
+    bad = {str(l.dtype) for l in leaves} - supported
+    if bad:
+        raise TypeError(
+            f"_fetch_host: unsupported leaf dtypes {sorted(bad)}; supported "
+            f"{sorted(supported)} (add a lossless pack rule rather than cast)"
+        )
     dtypes = tuple(str(l.dtype) for l in leaves)
     shapes = tuple(tuple(l.shape) for l in leaves)
     sig = (treedef, shapes, dtypes)

@@ -219,6 +219,60 @@ def load_params(
     return params
 
 
+def save_checkpoint(params: Params, spec: ModelSpec, model_dir: str) -> str:
+    """Write an UNFUSED float params tree as an HF-format Qwen2 checkpoint
+    (config.json + model.safetensors) — the inverse of :func:`load_params`.
+
+    This is how in-environment-trained tiny LMs (models/tiny_train.py,
+    scripts/trained_cascade_eval.py) and rehearsal checkpoints
+    (scripts/real_smoke.py) enter the PRODUCTION load -> verify -> quantize
+    path: everything downstream of a checkpoint directory is identical for
+    trained, rehearsal and real HF weights. Reference analog: the HF
+    snapshot dirs scripts/download_qwen3_models.py verifies.
+    """
+    from safetensors.numpy import save_file
+
+    d = pathlib.Path(model_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    tensors = {
+        "model.embed_tokens.weight": np.asarray(params["embed"], np.float32),
+        "model.norm.weight": np.asarray(params["final_norm"], np.float32),
+    }
+    if not spec.tie_embeddings:
+        tensors["lm_head.weight"] = np.asarray(
+            params["lm_head"], np.float32).T.copy()
+    inv_map = {ours: hf for hf, (ours, transpose) in _LAYER_MAP.items()
+               if transpose}
+    bias_map = {ours: hf for hf, (ours, transpose) in _LAYER_MAP.items()
+                if not transpose and ours.endswith("_bias")}
+    for li, layer in enumerate(params["layers"]):
+        pre = f"model.layers.{li}."
+        for ours, hf in inv_map.items():
+            tensors[pre + hf] = np.asarray(layer[ours], np.float32).T.copy()
+        for ours, hf in bias_map.items():
+            if ours in layer:
+                tensors[pre + hf] = np.asarray(layer[ours], np.float32)
+        tensors[pre + "input_layernorm.weight"] = np.asarray(
+            layer["input_norm"], np.float32)
+        tensors[pre + "post_attention_layernorm.weight"] = np.asarray(
+            layer["post_norm"], np.float32)
+    save_file(tensors, str(d / "model.safetensors"))
+    (d / "config.json").write_text(json.dumps({
+        "hidden_size": spec.hidden,
+        "num_hidden_layers": spec.n_layers,
+        "num_attention_heads": spec.n_heads,
+        "num_key_value_heads": spec.n_kv_heads,
+        "intermediate_size": spec.ffn,
+        "vocab_size": spec.vocab_size,
+        "head_dim": spec.head_dim,
+        "rope_theta": spec.rope_theta,
+        "rms_norm_eps": spec.rms_eps,
+        "max_position_embeddings": spec.max_seq_len,
+        "tie_word_embeddings": spec.tie_embeddings,
+    }))
+    return str(d)
+
+
 def save_params_npz(params: Params, path: str) -> None:
     """Flat .npz export of a (possibly quantized) params tree — a simple
     native checkpoint format for quantized weights so the offline

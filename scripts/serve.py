@@ -226,6 +226,16 @@ def main() -> None:
             lam0=serving.optimization.lambda_value,
             lr=serving.optimization.quality_gate_lr,
         ).attach(pipeline)
+        if serving.optimization.enable_dynamic_cost:
+            # attach() marks the pipeline; DynamicCostOptimizer sees the mark
+            # and yields lambda actuation (keeping its cost-multiplier role)
+            # so the two controllers never fight over the dual variable.
+            print(
+                "NOTE: quality_gate_target set with enable_dynamic_cost — "
+                "the gate controller owns lambda; DynamicCostOptimizer will "
+                "only adapt per-stage cost multipliers.",
+                file=sys.stderr,
+            )
     optimizer = None
     if serving.optimization.enable_dynamic_cost:
         optimizer = DynamicCostOptimizer(

@@ -338,6 +338,29 @@ class TestDynamicCostOptimizer:
         assert opt.cost_multipliers[-1] > 1.0
         assert pipe.costs[-1] > base_top * 0.99
 
+    def test_yields_lambda_to_attached_gate_controller(self, stages, predictor):
+        """ADVICE r4 (medium): with a QualityGateController attached, the
+        dynamic optimizer must NOT actuate lambda (the two controllers would
+        fight over the one dual variable) — it keeps its multiplier role."""
+        from adaptive_sd_tpu.cascade import (
+            DynamicCostOptimizer,
+            OptimizerTargets,
+            QualityGateController,
+        )
+
+        pipe = AdaptiveCascadePipeline(stages, predictor, PipelineConfig(lam=1.0))
+        QualityGateController(0.5, lam0=1.0).attach(pipe)
+        opt = DynamicCostOptimizer(
+            pipe, OptimizerTargets(target_latency_s=0.01), interval_s=999,
+            memory_utilization_fn=lambda: 0.95,
+        )
+        for _ in range(20):
+            opt.monitor.record(latency_s=0.5, quality=0.9, error=False)
+        report = opt.optimize_once()
+        assert pipe.lam == pytest.approx(1.0)   # untouched by the optimizer
+        assert any("skipped" in a for a in report["actions"])
+        assert opt.cost_multipliers[-1] > 1.0   # multiplier role still live
+
     def test_load_predictor_forecast(self):
         from adaptive_sd_tpu.cascade import LoadPredictor
 
