@@ -71,17 +71,23 @@ def _fetch_host(tree):
     transaction; through the remote-dispatch tunnel every leaf pays a full
     round trip (measured on this rig: a 4-leaf fetch costs ~125x a single
     packed fetch of the same bytes). This helper packs all leaves into ONE
-    flat f32 buffer on device — a tiny jitted concat, cached per
+    flat INT32 buffer on device — a tiny jitted concat, cached per
     (structure, shapes, dtypes) so it never recompiles in steady state —
-    fetches once, and rebuilds the tree host-side. int32 leaves travel as
-    lossless bitcasts and bool as 0/1 casts; both are restored exactly.
-    bf16/f16 leaves are promoted to f32 (value-exact)."""
+    fetches once, and rebuilds the tree host-side.
+
+    The transport dtype MUST be int32, not f32: float leaves ride as
+    bitcast int32 patterns (inert to integer ops), whereas small ints
+    bitcast into f32 are DENORMALS, and TPU float pipelines flush denormals
+    to zero — measured live on this rig (freshly compiled f32 packers
+    zeroed every int32 leaf value below ~2^23 while older cached binaries
+    passed them through; token ids and emitted counts all read 0).
+    bf16/f16 leaves are promoted to f32 first (value-exact)."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     if len(leaves) <= 1:
         return jax.device_get(tree)
-    # Loud failure outside the supported set: int64/uint32/int8 leaves would
-    # round-trip through f32 with silent value truncation above 2^24. New
-    # call sites must extend the packer (bitcast like int32) instead.
+    # Loud failure outside the supported set: int64/uint32/int8 leaves have
+    # no pack rule yet. New call sites must extend the packer (bitcast or
+    # widen losslessly) instead of silently casting.
     supported = {"bool", "int32", "float32", "bfloat16", "float16"}
     bad = {str(l.dtype) for l in leaves} - supported
     if bad:
@@ -99,10 +105,10 @@ def _fetch_host(tree):
             for x in xs:
                 if x.dtype == jnp.bool_:
                     x = x.astype(jnp.int32)
-                if x.dtype == jnp.int32:
-                    x = jax.lax.bitcast_convert_type(x, jnp.float32)
-                elif x.dtype != jnp.float32:
-                    x = x.astype(jnp.float32)
+                elif x.dtype != jnp.int32:
+                    if x.dtype != jnp.float32:
+                        x = x.astype(jnp.float32)
+                    x = jax.lax.bitcast_convert_type(x, jnp.int32)
                 flat.append(x.reshape(-1))
             return jnp.concatenate(flat)
 
@@ -114,11 +120,11 @@ def _fetch_host(tree):
         chunk = buf[off : off + n]
         off += n
         if dt == "bool":
-            arr = chunk.view(np.int32).astype(bool).reshape(shape)
+            arr = chunk.astype(bool).reshape(shape)
         elif dt == "int32":
-            arr = chunk.view(np.int32).reshape(shape)
-        else:  # float32 natively; bf16/f16 promoted value-exactly
             arr = chunk.reshape(shape)
+        else:  # float leaves: restore the f32 bit pattern
+            arr = chunk.view(np.float32).reshape(shape)
         out.append(arr)
     return jax.tree_util.tree_unflatten(treedef, out)
 
@@ -717,10 +723,15 @@ def _make_decode_scan_fn(spec: ModelSpec, fwd):
             return (tok, pos, cache, key, rem, emitted, out_t, out_l, qb)
 
         state = (tokens, positions, cache, key, remaining, emitted, out_t, out_l, qb)
-        _, _, cache, _, _, emitted, out_t, out_l, qb = jax.lax.fori_loop(
-            0, n_steps, body, state
+        tok_f, pos_f, cache, key_f, rem_f, emitted, out_t, out_l, qb = (
+            jax.lax.fori_loop(0, n_steps, body, state)
         )
-        return out_t, out_l, emitted, qb, cache
+        # final lane state: the device-resident carry for chained scans —
+        # the scheduler redispatches from these instead of re-uploading
+        # host arrays (a fresh host->device transfer costs ~24 ms through
+        # the tunnel vs ~12 ms of compute for the whole scan; see
+        # scripts/dispatch_probe2.py / DISPATCH_PROBE2.json)
+        return out_t, out_l, emitted, qb, (tok_f, pos_f, rem_f, key_f), cache
 
     return fn
 
@@ -1037,7 +1048,7 @@ class TierEngine:
         emitted [B], q_out)."""
         if top_ps is None:
             top_ps = np.ones(len(temps), np.float32)
-        out_t, out_l, emitted, q_out, self.cache = self._decode_scan_jit(
+        out_t, out_l, emitted, q_out, _carry, self.cache = self._decode_scan_jit(
             self.params, jnp.asarray(tokens), jnp.asarray(positions), self.cache,
             jnp.asarray(block_tables), jnp.asarray(temps, jnp.float32),
             jnp.asarray(top_ps, jnp.float32), key,
@@ -1045,6 +1056,71 @@ class TierEngine:
             n_steps=n_steps, eos_id=self.eos_id, return_topk=return_topk,
         )
         return _fetch_host((out_t, out_l, emitted, q_out))
+
+    # ------------------------------------------------- device-carry scanning
+    # The tunnel's cost structure (scripts/dispatch_probe2.py): dispatch,
+    # sync and result fetch are ~0.05 ms, but EVERY fresh host->device
+    # transfer lands with ~24 ms latency. A scheduler that re-uploads lane
+    # tokens/positions/budgets/PRNG key each round therefore pays
+    # ~24 ms + compute per scan; carrying that state on device drops the
+    # steady-state round to pure compute (~12 ms for an 8-step depth-2 scan).
+    def scan_carry_init(self, tokens, positions, remaining, temps, top_ps,
+                        seed: int):
+        """Stage lane state on device for chained scans. One-time (and
+        rebuild-after-invalidation) cost: the ~24 ms transfer latency this
+        API exists to keep OFF the steady-state path."""
+        return {
+            "tok": jnp.asarray(np.asarray(tokens, np.int32)),
+            "pos": jnp.asarray(np.asarray(positions, np.int32)),
+            "rem": jnp.asarray(np.asarray(remaining, np.int32)),
+            "key": jax.random.key(seed),
+            "temps": jnp.asarray(np.asarray(temps, np.float32)),
+            "top_ps": jnp.asarray(np.asarray(top_ps, np.float32)),
+        }
+
+    def scan_carry_update(self, carry, lanes, tokens, positions, remaining,
+                          temps=None, top_ps=None):
+        """Scatter fresh per-lane state (admissions) into a device carry
+        without invalidating the untouched lanes. The host scalars ride a
+        tiny async transfer whose latency overlaps the next scan's compute."""
+        idx = jnp.asarray(np.asarray(lanes, np.int32))
+        upd = dict(carry)
+        upd["tok"] = carry["tok"].at[idx].set(
+            jnp.asarray(np.asarray(tokens, np.int32)))
+        upd["pos"] = carry["pos"].at[idx].set(
+            jnp.asarray(np.asarray(positions, np.int32)))
+        upd["rem"] = carry["rem"].at[idx].set(
+            jnp.asarray(np.asarray(remaining, np.int32)))
+        if temps is not None:
+            upd["temps"] = carry["temps"].at[idx].set(
+                jnp.asarray(np.asarray(temps, np.float32)))
+        if top_ps is not None:
+            upd["top_ps"] = carry["top_ps"].at[idx].set(
+                jnp.asarray(np.asarray(top_ps, np.float32)))
+        return upd
+
+    def scan_carry_mask(self, carry, lanes):
+        """Zero the budgets of ``lanes`` (retired/preempted): the scan graph
+        masks rem == 0 lanes, so they can stay in the dispatch harmlessly."""
+        idx = jnp.asarray(np.asarray(lanes, np.int32))
+        upd = dict(carry)
+        upd["rem"] = carry["rem"].at[idx].set(0)
+        return upd
+
+    def decode_sample_scan_carry(self, carry, block_tables_dev, *, n_steps,
+                                 return_topk=0):
+        """One chained scan from a device-resident carry: zero fresh
+        host->device transfers on the dispatch path. Returns
+        (host (out_tokens, out_logprobs, emitted, q_out), new_carry)."""
+        out_t, out_l, emitted, q_out, fin, self.cache = self._decode_scan_jit(
+            self.params, carry["tok"], carry["pos"], self.cache,
+            block_tables_dev, carry["temps"], carry["top_ps"], carry["key"],
+            carry["rem"],
+            n_steps=n_steps, eos_id=self.eos_id, return_topk=return_topk,
+        )
+        new_carry = dict(carry)
+        new_carry["tok"], new_carry["pos"], new_carry["rem"], new_carry["key"] = fin
+        return _fetch_host((out_t, out_l, emitted, q_out)), new_carry
 
     def prefill_window_sample_batch(
         self, tokens_w, offsets, win_lens, block_tables, temps, key, *,

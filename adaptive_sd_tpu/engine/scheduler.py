@@ -31,6 +31,7 @@ from dataclasses import dataclass, field
 from typing import Callable, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..core.exceptions import ResourceError
@@ -106,6 +107,7 @@ class ContinuousBatchingScheduler:
         scan_steps: int = 1,
         preemption_mode: str = "recompute",
         max_swap_bytes: int = 256 << 20,
+        device_carry: bool = True,
     ) -> None:
         """``spec_topk`` > 0: sampled lanes (temperature > 0) also carry the
         top-K support of each emitted token's distribution, so a later tier
@@ -187,6 +189,24 @@ class ContinuousBatchingScheduler:
         # C++ lane table mirror (None -> Python scan). Lane choice stays in
         # Python (lowest-free order matches the C++ admit scan; asserted).
         self._nlanes = make_lanes(max_batch, self.page)
+
+        # Device-resident scan carry (tokens/positions/budgets/PRNG key kept
+        # on device between scan dispatches): through the tunnel a fresh
+        # host->device transfer costs ~24 ms of latency while a whole
+        # 8-step depth-2 scan computes in ~12 ms (DISPATCH_PROBE2.json), so
+        # re-uploading lane state every round more than doubles the round.
+        # ``_carry_host`` mirrors what the device carry holds; each round the
+        # desired host state is diffed against it and only changed lanes are
+        # scatter-patched (admissions, retires, preemptions) — zero hooks in
+        # the mutation sites, self-healing by construction.
+        self.device_carry = bool(device_carry)
+        self._carry = None
+        self._carry_host: Optional[dict] = None
+        self._tables_dev = None
+        self._tables_uploaded: Optional[np.ndarray] = None
+        self._carry_rounds = 0
+        self._carry_rebuilds = 0
+        self._carry_patches = 0
 
     def _timed(self, kind: str, bucket: tuple, fn, *args, **kw):
         """Run one engine dispatch under the per-kind timer. ``bucket`` is
@@ -1001,6 +1021,73 @@ class ContinuousBatchingScheduler:
                 self._nlanes.advance(lane, req.next_token)
         return len(still)
 
+    def _dispatch_scan_carried(self, tokens, positions, temps, tps, remaining,
+                               n_steps: int, topk: int):
+        """Scan dispatch from the device-resident carry. The desired host
+        state (what the non-carry path would upload) is diffed against the
+        mirror of what the device already holds; only changed lanes are
+        scatter-patched, and the whole carry is rebuilt when most lanes
+        changed (or none exists). Lanes with zero budget are masked on
+        device, so retired lanes need no patch beyond zeroing their budget."""
+        eng = self.engine
+        mir = self._carry_host
+        self._carry_rounds += 1
+        rebuild = self._carry is None or mir is None
+        if not rebuild:
+            act = remaining > 0
+            differs = (
+                (mir["tok"] != tokens) | (mir["pos"] != positions)
+                | (mir["rem"] != remaining) | (mir["temps"] != temps)
+                | (mir["tps"] != tps)
+            )
+            # inactive lanes only need their device budget zeroed; their
+            # stale token/position are masked by the graph
+            need = np.nonzero((act & differs) | (~act & (mir["rem"] > 0)))[0]
+            if len(need) > self.max_batch // 2:
+                rebuild = True
+            elif len(need):
+                self._carry = eng.scan_carry_update(
+                    self._carry, need, tokens[need], positions[need],
+                    remaining[need], temps[need], tps[need],
+                )
+                self._carry_patches += 1
+                for f, arr in (("tok", tokens), ("pos", positions),
+                               ("rem", remaining), ("temps", temps),
+                               ("tps", tps)):
+                    mir[f][need] = arr[need]
+        if rebuild:
+            self._carry = eng.scan_carry_init(
+                tokens, positions, remaining, temps, tps, seed=self.steps
+            )
+            self._carry_host = mir = {
+                "tok": tokens.copy(), "pos": positions.copy(),
+                "rem": remaining.copy(), "temps": temps.copy(),
+                "tps": tps.copy(),
+            }
+            self._carry_rebuilds += 1
+        if self._tables_uploaded is None or not np.array_equal(
+            self._tables_uploaded, self._tables
+        ):
+            self._tables_dev = jnp.asarray(self._tables)
+            self._tables_uploaded = self._tables.copy()
+        (out_t, out_l, emitted, q_out), self._carry = self._timed(
+            "scan", (n_steps, topk),
+            eng.decode_sample_scan_carry, self._carry, self._tables_dev,
+            n_steps=n_steps, return_topk=topk,
+        )
+        # advance the mirror exactly as the graph advanced the carry
+        eos = eng.eos_id
+        for lane in np.nonzero(emitted > 0)[0]:
+            k = int(emitted[lane])
+            last = int(out_t[lane, k - 1])
+            mir["tok"][lane] = last
+            mir["pos"][lane] += k
+            mir["rem"][lane] = (
+                0 if (eos is not None and last == eos)
+                else mir["rem"][lane] - k
+            )
+        return out_t, out_l, emitted, q_out
+
     def _step_scan(self, still, n_steps: int) -> int:
         """Advance the active lanes by up to ``n_steps`` tokens in ONE
         dispatch (engine.decode_sample_scan). Pages are pre-grown to cover
@@ -1039,12 +1126,18 @@ class ContinuousBatchingScheduler:
 
         self.steps += 1
         topk = self.spec_topk if any(r.temperature > 0 for _, r, _ in still) else 0
-        out_t, out_l, emitted, q_out = self._timed(
-            "scan", (n_steps, topk),
-            self.engine.decode_sample_scan,
-            tokens, positions, self._tables, temps, jax.random.key(self.steps),
-            remaining, n_steps=n_steps, return_topk=topk, top_ps=tps,
-        )
+        if self.device_carry:
+            out_t, out_l, emitted, q_out = self._dispatch_scan_carried(
+                tokens, positions, temps, tps, remaining, n_steps, topk
+            )
+        else:
+            out_t, out_l, emitted, q_out = self._timed(
+                "scan", (n_steps, topk),
+                self.engine.decode_sample_scan,
+                tokens, positions, self._tables, temps,
+                jax.random.key(self.steps),
+                remaining, n_steps=n_steps, return_topk=topk, top_ps=tps,
+            )
         for lane, req, _ in still:
             k = int(emitted[lane])
             if k == 0:
@@ -1150,6 +1243,12 @@ class ContinuousBatchingScheduler:
                     "max_s": round(d[2], 3),
                 }
                 for k, d in self._disp.items()
+            },
+            "carry": {
+                "enabled": self.device_carry,
+                "rounds": self._carry_rounds,
+                "rebuilds": self._carry_rebuilds,
+                "patches": self._carry_patches,
             },
             "graph_buckets": len(self._buckets),
             "bucket_hits": {

@@ -252,6 +252,11 @@ class TierRecipe:
     ffn: int
     steps: int
     head_dim: int = 64
+    # per-recipe LR: the wider/deeper tier destabilises at the small tiers'
+    # 3e-3 (measured: 448x6 ended at loss 0.271 vs 256x4's 0.018 — the
+    # CAPABILITY gradient inverted); width-scaled LR restores monotone
+    # convergence
+    lr: float = 3e-3
 
     def spec(self, vocab_size: int, max_seq_len: int = 512) -> ModelSpec:
         return ModelSpec(
@@ -269,7 +274,7 @@ DEFAULT_RECIPES = (
     TierRecipe("trained-t0", hidden=128, n_layers=2, n_heads=2, ffn=384,
                steps=700),
     TierRecipe("trained-t1", hidden=256, n_layers=4, n_heads=4, ffn=768,
-               steps=1400),
+               steps=1400, lr=2e-3),
     TierRecipe("trained-t2", hidden=448, n_layers=6, n_heads=8, ffn=1344,
-               steps=2800),
+               steps=3600, lr=1e-3),
 )

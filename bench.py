@@ -162,11 +162,18 @@ def main(argv=None) -> None:
         # (dispatch noise is strictly additive).
         depths, vocab, B, max_new, prompt_len = (2, 4, 6), 32768, 8, 48, 128
         tiers = [("qwen2.5-7b", 28), ("qwen2.5-32b", 64), ("qwen2.5-72b", 80)]
-        use_pallas, reps = True, 8 if args.full else 6
+        use_pallas, reps = True, 8 if args.full else 5
         n_train = 1536
-        n_eval = args.n_eval or 6144
+        # driver-budget sizing (VERDICT r4 next #1): the first stdout
+        # headline must land well inside the driver's timeout on a 2-CPU
+        # host — 4096 eval items (report half 2048) widens pres_sigma by
+        # ~22% vs round 4's 6144 (the margin gate absorbs it) and saves
+        # ~3 min of draft generation; 3 ensemble seeds instead of 5 saves
+        # host-CPU training minutes at <0.01 headline-AUC cost. --full
+        # restores round-4 sizes.
+        n_eval = args.n_eval or (6144 if args.full else 4096)
         n_wvm, n_wvm_hi = (48, 24) if args.full else (20, 8)
-        ens_seeds = (0, 1, 2, 3, 4)
+        ens_seeds = (0, 1, 2, 3, 4) if args.full else (0, 1, 2)
     else:  # CI/CPU fallback: tiny tiers, same code path
         depths, vocab, B, max_new, prompt_len = (2, 3, 4), 2048, 4, 8, 32
         tiers = [("tiny128", 2), ("tiny128", 8), ("tiny128", 16)]

@@ -121,7 +121,7 @@ def main() -> None:
         p = pos
         outs = []
         for i in range(k):
-            out_t, out_l, emitted, qb, eng.cache = scan(
+            out_t, out_l, emitted, qb, _fin, eng.cache = scan(
                 eng.params, t, p, eng.cache, tables, temps, tps,
                 jax.random.key(i), rem, n_steps=scan_steps,
                 eos_id=None, return_topk=0,

@@ -149,7 +149,7 @@ def main() -> None:
         steps = max(int(rec.steps * args.steps_scale), 10)
         spec = rec.spec(tokz.vocab_size, max_seq_len=max(seq_len, 512))
         params, rep = train_lm(
-            spec, toks, mask, steps=steps, batch=train_batch,
+            spec, toks, mask, steps=steps, batch=train_batch, lr=rec.lr,
             seed=args.seed + k,
             progress=lambda m, k=k: _progress(f"tier {k}: {m}", t0),
         )
