@@ -1076,3 +1076,71 @@ class TestWarmup:
                 assert not cold, f"cold buckets after pipeline warmup: {cold}"
         finally:
             pipe.shutdown()
+
+
+class TestDeviceCarryScan:
+    """Device-carry scan dispatch (engine/scheduler.py device_carry): the
+    carried rounds must reproduce the legacy re-upload path exactly, and
+    the self-healing mirror must survive admissions/retires mid-stream."""
+
+    def _engine(self, tiny_params, eos=None):
+        return TierEngine(TINY, tiny_params, page_size=PAGE, n_pages=128,
+                          use_pallas=False, eos_id=eos)
+
+    def _run(self, tiny_params, device_carry, scan_steps=4):
+        from adaptive_sd_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+        eng = self._engine(tiny_params)
+        sched = ContinuousBatchingScheduler(
+            eng, max_batch=2, max_context=64, scan_steps=scan_steps,
+            device_carry=device_carry,
+        )
+        # more requests than lanes: retires + re-admissions churn the lane
+        # set while scans run, exercising the diff/patch path
+        reqs = [sched.submit([i + 1, i + 2, i + 3], max_new=6)
+                for i in range(5)]
+        sched.run_until_idle()
+        assert all(r.done and not r.error for r in reqs)
+        return [r.out_tokens for r in reqs], sched
+
+    def test_carry_matches_legacy_path(self, tiny_params):
+        toks_carry, sc = self._run(tiny_params, device_carry=True)
+        toks_plain, sp = self._run(tiny_params, device_carry=False)
+        assert toks_carry == toks_plain
+        st = sc.stats()["carry"]
+        assert st["enabled"] and st["rounds"] > 0
+        assert sp.stats()["carry"]["rounds"] == 0
+
+    def test_carry_matches_fused(self, tiny_params):
+        eng = self._engine(tiny_params)
+        fused = [o.token_ids.tolist()
+                 for o in eng.generate([[3, 14, 15], [9, 2, 6, 5]], max_new=8)]
+        from adaptive_sd_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+        sched = ContinuousBatchingScheduler(
+            eng, max_batch=4, max_context=128, scan_steps=4, device_carry=True
+        )
+        a = sched.submit([3, 14, 15], max_new=8)
+        b = sched.submit([9, 2, 6, 5], max_new=8)
+        sched.run_until_idle()
+        assert a.out_tokens == fused[0]
+        assert b.out_tokens == fused[1]
+
+    def test_carry_eos_and_mixed_budgets(self, tiny_params):
+        """eos mid-scan zeroes the device budget; the mirror must agree
+        (no spurious patches that would re-activate the lane)."""
+        from adaptive_sd_tpu.engine.scheduler import ContinuousBatchingScheduler
+
+        eng = self._engine(tiny_params)
+        probe = eng.generate([[5, 6, 7]], max_new=12)[0].token_ids.tolist()
+        eos = probe[3]  # force an eos hit partway through
+        eng2 = self._engine(tiny_params, eos=eos)
+        expected = eng2.generate([[5, 6, 7], [1, 2]], max_new=12)
+        sched = ContinuousBatchingScheduler(
+            eng2, max_batch=2, max_context=64, scan_steps=5, device_carry=True
+        )
+        a = sched.submit([5, 6, 7], max_new=12)
+        b = sched.submit([1, 2], max_new=3)  # mixed budget
+        sched.run_until_idle()
+        assert a.out_tokens == expected[0].token_ids.tolist()
+        assert len(b.out_tokens) == 3
