@@ -277,10 +277,16 @@ def main(argv=None) -> None:
     # accuracy matters most) stays INT8; the upper tiers stream packed INT4
     # at roughly half the bytes per layer.
     FMT_MIXED = [8] + [4] * (n_tiers - 1)
+    # All-int4: tier 0 too — it serves ~80% of traffic, so its int4 step
+    # time is the largest single economic lever. Only becomes a candidate
+    # row when the TRAINED artifact carries a measured tier-0 answer bill
+    # (int4_tier0_measured) — there is no honest fallback price for the
+    # tier that answers most requests.
+    FMT_ALL4 = [4] * n_tiers
 
     fmt: dict[tuple[int, int], dict] = {}   # (tier_idx, bits) -> timing dict
     for i, (base, layers) in enumerate(tiers):
-        for bits in sorted({8, FMT_MIXED[i]}):
+        for bits in (4, 8):
             md = depths if (bits == 8 or args.full) else (d_lo, d_hi)
             fmt[(i, bits)] = measure_config(base, layers, bits, seed=i,
                                             meas_depths=md)
@@ -450,6 +456,7 @@ def main(argv=None) -> None:
     int4_bill = {"source": "random-weight-token-agreement",
                  "per_tier": [round(a, 4) for a in int4_agreement]}
     mixed_bill = list(int4_agreement)
+    all4_bill = None   # no honest fallback for tier 0 (see FMT_ALL4 note)
     if os.path.exists("TRAINED_CASCADE.json"):
         try:
             with open("TRAINED_CASCADE.json") as f:
@@ -458,9 +465,13 @@ def main(argv=None) -> None:
             if tb and len(tb) == n_tiers and all(isinstance(x, (int, float))
                                                  for x in tb):
                 mixed_bill = [min(float(x), 1.0) for x in tb]
+                # mixed keeps tier 0 int8: its bill entry is 1.0 by definition
+                mixed_bill[0] = 1.0
                 int4_bill = {"source": "trained-lm-answer-preservation",
                              "artifact": "TRAINED_CASCADE.json",
                              "per_tier": [round(float(x), 4) for x in tb]}
+                if trained_artifact.get("int4_tier0_measured"):
+                    all4_bill = [min(float(x), 1.0) for x in tb]
         except (OSError, json.JSONDecodeError):
             trained_artifact = None
 
@@ -667,18 +678,48 @@ def main(argv=None) -> None:
     _progress(f"mixed-int4 (report half, bill={int4_bill['source']}): "
               f"{spd4:.3f}x @ {pres4:.4f}", t_start)
 
+    # all-int4 row: only with a measured tier-0 bill from the trained
+    # artifact. Same split hygiene.
+    all4_row = None
+    if all4_bill is not None:
+        times_a4 = times_of(FMT_ALL4)
+        walk_a4 = make_walk(times_a4, hc["p_hat"], hc["p0"], p_true_eval,
+                            prefetch_credit=True)
+        besta_sel = swp(walk_a4, goodness, q_largest, sel_idx,
+                        gate=margin_gate, agreement=all4_bill) \
+            or swp_fb(walk_a4, goodness, q_largest, sel_idx,
+                      agreement=all4_bill)
+        lam_a4 = besta_sel[0]
+        dist_a4, pres_a4, spd_a4 = sim(walk_a4, goodness, q_largest, lam_a4,
+                                       rep_idx, agreement=all4_bill)
+        all4_row = {
+            "speedup": round(float(spd_a4), 3),
+            "quality_preservation_with_bill": round(float(pres_a4), 4),
+            "lambda": round(float(lam_a4), 4),
+            "stage_distribution": [round(float(d), 3) for d in dist_a4],
+            "bill_per_tier": [round(float(x), 4) for x in all4_bill],
+            "bill_source": "trained-lm-answer-preservation (tier 0 measured)",
+        }
+        _progress(f"all-int4 (report half): {spd_a4:.3f}x @ {pres_a4:.4f}",
+                  t_start)
+
     oracle = oracle_rows(times8, goodness, q_largest, p_true_eval, all_idx)
 
-    # headline selection: same-format INT8 unless the mixed row clears the
+    # headline selection: same-format INT8 unless a quantized row clears the
     # gate WITH its bill paid and is faster
-    if pres4 >= 0.95 and spd4 > spd8:
+    value, pres = spd8, pres8
+    headline_formats = [f"int{b}" for b in FMT_INT8]
+    headline_lam, headline_dist = lam8, dist8
+    if pres4 >= 0.95 and spd4 > value:
         value, pres = spd4, pres4
         headline_formats = [f"int{b}" for b in FMT_MIXED]
         headline_lam, headline_dist = lam4, dist4
-    else:
-        value, pres = spd8, pres8
-        headline_formats = [f"int{b}" for b in FMT_INT8]
-        headline_lam, headline_dist = lam8, dist8
+    if all4_row is not None and all4_row["quality_preservation_with_bill"] \
+            >= 0.95 and all4_row["speedup"] > value:
+        value, pres = all4_row["speedup"], all4_row["quality_preservation_with_bill"]
+        headline_formats = [f"int{b}" for b in FMT_ALL4]
+        headline_lam = all4_row["lambda"]
+        headline_dist = all4_row["stage_distribution"]
 
     rep = hc["report"]
     result = {
@@ -779,6 +820,8 @@ def main(argv=None) -> None:
         },
         "int4_bill": int4_bill["source"],
     }
+    if all4_row is not None:
+        result["all_int4"] = all4_row
     if trained_artifact is not None:
         tl = trained_artifact
         result["trained_lm"] = {

@@ -88,7 +88,6 @@ def main() -> None:
     from adaptive_sd_tpu.core.types import RequestContext
     from adaptive_sd_tpu.engine import TierEngine
     from adaptive_sd_tpu.evalx.datasets import load_frozen, score_item
-    from adaptive_sd_tpu.evalx.walk import CascadeWalk
     from adaptive_sd_tpu.models.loader import load_params, save_checkpoint, spec_from_checkpoint
     from adaptive_sd_tpu.models.tiny_train import (
         ANSWER_CUE,
@@ -189,18 +188,22 @@ def main() -> None:
     # --- per-tier generation + scoring --------------------------------------
     B = 8
 
-    def answers_for(stage_or_engine, its, tag: str) -> list[str]:
-        outs: list[str] = []
+    def answers_for(stage_or_engine, its, tag: str):
+        """[(text, logprobs)] per item — logprobs ride along because the
+        serving path's predictor sees the engine's real logprobs, and the
+        training rows must be built from the identical inputs."""
+        outs = []
         for i in range(0, len(its), B):
             chunk = its[i : i + B]
             prompts = [it["prompt"] for it in chunk]
             if hasattr(stage_or_engine, "generate_text"):
                 res = stage_or_engine.generate_text(prompts, max_new=max_new)
-                outs.extend(o.text for o in res)
+                outs.extend((o.text, o.logprobs) for o in res)
             else:
                 toks_b = [tok_fn(p) for p in prompts]
                 res = stage_or_engine.generate(toks_b, max_new=max_new)
-                outs.extend(detok_fn(o.token_ids.tolist()) for o in res)
+                outs.extend((detok_fn(o.token_ids.tolist()), o.logprobs)
+                            for o in res)
         return outs
 
     def scores_of(its, answers) -> np.ndarray:
@@ -210,11 +213,11 @@ def main() -> None:
     n_tiers = len(stages)
     sel_answers = [answers_for(stages[k], sel_items, f"sel{k}")
                    for k in range(n_tiers)]
-    sel_scores = np.stack([scores_of(sel_items, sel_answers[k])
+    sel_scores = np.stack([scores_of(sel_items, [a for a, _ in sel_answers[k]])
                            for k in range(n_tiers)], axis=1)  # [n_sel, K]
     rep_answers = [answers_for(stages[k], rep_items, f"rep{k}")
                    for k in range(n_tiers)]
-    rep_scores = np.stack([scores_of(rep_items, rep_answers[k])
+    rep_scores = np.stack([scores_of(rep_items, [a for a, _ in rep_answers[k]])
                            for k in range(n_tiers)], axis=1)
     _progress("per-tier accuracy SEL "
               + str([round(float(c), 3) for c in sel_scores.mean(0)])
@@ -236,21 +239,34 @@ def main() -> None:
         X, texts = [], []
         for i, it in enumerate(its):
             for k in range(n_tiers):
-                draft = answers_by_tier[k][i]
+                draft, lps = answers_by_tier[k][i]
+                # IDENTICAL inputs to the serving path's predictor.predict:
+                # real draft logprobs, default cost. A train-time-only
+                # feature (cost=ratio, logprobs=None) shifts p-hat
+                # systematically at serve time (measured: routing collapsed
+                # to tier 0 at 0.76 preservation).
                 X.append(extract_features(
-                    it["prompt"], draft, None, k, n_stages=n_tiers,
-                    cost=measured_ratios[k],
+                    it["prompt"], draft, lps, k, n_stages=n_tiers,
                 ))
                 texts.append((it["prompt"], draft))
         return np.stack(X), texts
 
-    X_draft, tx_draft = rows_for(sel_items, sel_answers)
-    y_draft = sel_scores.reshape(-1).astype(np.float32)
+    # SEL splits again: the predictor fits on FIT, lambda is tuned on TUNE.
+    # Tuning on the predictor's own training items reads memorised p-hats:
+    # measured, SEL acc 0.995 at a lambda whose held-out preservation was
+    # 0.888 (the gate cliff sat one grid step away). REP stays untouched.
+    fit_items = sel_items[0::2]
+    tune_items = sel_items[1::2]
+    fit_answers = [[sel_answers[k][i] for i in range(0, len(sel_items), 2)]
+                   for k in range(n_tiers)]
+    fit_scores = sel_scores[0::2]
+    X_draft, tx_draft = rows_for(fit_items, fit_answers)
+    y_draft = fit_scores.reshape(-1).astype(np.float32)
     X_pf = np.stack([
         extract_features(it["prompt"], "", None, k, n_stages=n_tiers)
-        for it in sel_items for k in range(n_tiers)
+        for it in fit_items for k in range(n_tiers)
     ])
-    tx_pf = [(it["prompt"], "") for it in sel_items for _ in range(n_tiers)]
+    tx_pf = [(it["prompt"], "") for it in fit_items for _ in range(n_tiers)]
     y_pf = y_draft.copy()
     with jax.default_device(cpu_dev):
         predictor = MLPQualityPredictor(n_stages=n_tiers, seed=args.seed,
@@ -262,47 +278,60 @@ def main() -> None:
         )
     _progress(f"predictor trained: val AUC {fit_rep.val_auc:.3f}", t0)
 
-    # --- lambda selection on SEL (offline DP replay; report run is real) ----
-    p_hat_sel = predictor.predict_features(
-        X_draft, texts=tx_draft).reshape(len(sel_items), n_tiers)
-    p0_sel = predictor.predict_features(
-        X_pf, texts=tx_pf).reshape(len(sel_items), n_tiers)
-    cfg = PipelineConfig()
-    lat = np.asarray(tier_lat)
-    walk = CascadeWalk(
-        step=lat / max_new, prefill=np.zeros(n_tiers), verify=lat * 0.4,
-        p_hat=p_hat_sel, p0=p0_sel, p_true=p_hat_sel, max_new=max_new,
-        skip_threshold=cfg.skip_prior_threshold,
-        min_draft_quality=cfg.min_draft_quality_for_verify,
-        prefetch_threshold=cfg.prefetch_threshold,
-        chain_threshold=cfg.chain_prefetch_threshold,
-        prefetch_credit=False, costs=np.cumsum(measured_ratios),
+    # --- lambda selection on TUNE (real-pipeline replay; REP untouched) -----
+    fixed_sel = float(sel_scores[1::2, -1].mean())
+    tune_scores = sel_scores[1::2]
+    # Lambda selection replays the REAL production pipeline over SEL — an
+    # offline walk is a timing model, and its stop decisions drifted from
+    # the production DP's (measured: walk predicted 0.957 preservation, the
+    # pipeline delivered 0.840). The report half stays untouched: only the
+    # frozen lambda crosses over. A one-sigma margin on the gate keeps the
+    # held-out report at the 0.95 gate in expectation.
+    sel_pipe = AdaptiveCascadePipeline(
+        StageManager(stages), predictor,
+        PipelineConfig(lam=1.0, enable_caching=False,
+                       risk_alpha=1e-6, risk_beta=1e-6),
+        costs=np.cumsum(measured_ratios).tolist(),
     )
-    fixed_sel = float(sel_scores[:, -1].mean())
+    sigma_sel = float(np.sqrt(
+        max(fixed_sel * (1.0 - fixed_sel), 0.04) / max(len(tune_items), 1)
+    ))
+    gate_sel = 0.95 * fixed_sel + np.sqrt(2.0) * sigma_sel
     best = None
-    for lam in np.geomspace(0.02, 8.0, 25):
-        stops, ts = walk.run(float(lam))
-        acc = float(sel_scores[np.arange(len(sel_items)), stops].mean())
-        spd = float(lat[-1] / ts.mean())
-        ok = acc >= 0.95 * fixed_sel
-        if ok and (best is None or spd > best[1]):
-            best = (float(lam), spd, acc)
+    cands = []
+    for lam in np.geomspace(0.1, 6.0, 7):
+        sel_pipe.update_lambda(float(lam))
+        sel_pipe.reset_stats()
+        accs, lats = [], []
+        for i, it in enumerate(tune_items):
+            res = sel_pipe.process_request(RequestContext(
+                prompt=it["prompt"], request_id=f"sel-{lam:.3f}-{i}",
+                max_tokens=max_new,
+            ))
+            accs.append(score_item(it, res.text))
+            lats.append(res.total_latency_s)
+        acc, lat_m = float(np.mean(accs)), float(np.mean(lats))
+        cands.append((acc, -lat_m, float(lam)))
+        _progress(f"lambda {lam:.3f}: TUNE acc {acc:.3f} "
+                  f"(gate {gate_sel:.3f}), {lat_m * 1e3:.0f} ms/req", t0)
+        if acc >= gate_sel and (best is None or lat_m < best[1]):
+            best = (float(lam), lat_m, acc)
     if best is None:  # no feasible point: most quality-preserving
-        cands = []
-        for lam in np.geomspace(0.02, 8.0, 25):
-            stops, ts = walk.run(float(lam))
-            acc = float(sel_scores[np.arange(len(sel_items)), stops].mean())
-            cands.append((acc, float(lam), float(lat[-1] / ts.mean())))
-        acc, lam_star, _ = max(cands)
-        best = (lam_star, 0.0, acc)
+        acc, neg_lat, lam_star = max(cands)
+        best = (lam_star, -neg_lat, acc)
     lam_star = best[0]
-    _progress(f"lambda selected on SEL: {lam_star:.3f} "
-              f"(predicted acc {best[2]:.3f} vs fixed {fixed_sel:.3f})", t0)
+    _progress(f"lambda selected on TUNE (real-pipeline replay): {lam_star:.3f} "
+              f"(TUNE acc {best[2]:.3f} vs fixed {fixed_sel:.3f})", t0)
 
     # --- THE REPORT RUN: real pipeline over REP at the frozen lambda --------
     pipeline = AdaptiveCascadePipeline(
         StageManager(stages), predictor,
-        PipelineConfig(lam=lam_star, enable_caching=False),
+        # risk priors ~0: the lambda-selection walk models no Bayesian
+        # shrinkage, and cold-start shrinkage toward 0.5 masks exactly the
+        # low tier-0 scores that should trigger escalation
+        PipelineConfig(lam=lam_star, enable_caching=False,
+                       risk_alpha=1e-6, risk_beta=1e-6),
+        costs=np.cumsum(measured_ratios).tolist(),
     )
     casc_scores, casc_lat, stage_counts = [], [], [0] * n_tiers
     by_ds: dict[str, list] = {}
@@ -334,12 +363,15 @@ def main() -> None:
     int4_pres = [1.0] * n_tiers
     int4_acc = [None] * n_tiers
     int4_agree = [1.0] * n_tiers
-    for k in range(1, n_tiers):
+    # tier 0 included: it serves most traffic, so an all-int4 configuration
+    # hinges on ITS measured answer bill (bench.py's all-int4 row is gated
+    # on int4_tier0_measured)
+    for k in range(n_tiers):
         eng4 = build_engine(tier_dirs[k], 4)
         st4 = EngineTextStage(eng4, tok_fn, detok_fn,
                               name=f"{recipes[k].name}-int4", stage_index=k,
                               spec_topk=0)
-        a4 = answers_for(st4, rep_items, f"int4-{k}")
+        a4 = [a for a, _ in answers_for(st4, rep_items, f"int4-{k}")]
         acc4 = float(scores_of(rep_items, a4).mean())
         acc8 = float(rep_scores[:, k].mean())
         int4_acc[k] = acc4
@@ -387,8 +419,9 @@ def main() -> None:
         "measured_cost_ratios": [round(float(x), 3) for x in measured_ratios],
         "predictor_val_auc": round(float(fit_rep.val_auc), 4),
         "lambda": round(lam_star, 4),
-        "lambda_selection": "SEL half (even items); REP untouched until the "
-                            "single report run",
+        "lambda_selection": "predictor fit on SEL-even, lambda tuned by "
+                            "real-pipeline replay on SEL-odd; REP untouched "
+                            "until the single report run",
         "cascade_accuracy": round(casc_acc, 4),
         "fixed_largest_accuracy": round(fixed_acc, 4),
         "quality_preservation": round(casc_acc / fixed_acc, 4)
@@ -412,6 +445,7 @@ def main() -> None:
         },
         "int4_answer_preservation_per_tier": [round(float(x), 4)
                                               for x in int4_pres],
+        "int4_tier0_measured": int4_acc[0] is not None,
         "int4_accuracy_per_tier": [
             round(float(x), 4) if x is not None else None for x in int4_acc
         ],
