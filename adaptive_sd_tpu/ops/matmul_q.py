@@ -201,12 +201,17 @@ def quantized_matmul(
     scale: jax.Array,
     *,
     bits: int = 8,
-    block_n: int = 1024,
-    block_k: int = 1024,
+    block_n: int = 2048,
+    block_k: int = 2048,
     interpret: bool = False,
     out_dtype=None,
 ) -> jax.Array:
     """``x @ dequant(q, scale)`` via the Pallas kernel.
+
+    Default block caps are 2048: the r5 sweep (scripts/kernel_sweep.py)
+    measured cap-2048 at or above cap-1024 on every layer shape — 7B qkv
+    int8 0.0174 vs 0.0264 ms, 72B rows 748-769 GB/s — and _fit_blocks
+    still shrinks to VMEM, so large caps only widen the search.
 
     x: [M, K] bf16/f32. q: [K, N] int8 (bits=8) or [K//2, N] packed (bits=4).
     scale: [N] f32. Returns [M, N] in ``out_dtype`` (default: x.dtype).
@@ -324,8 +329,8 @@ def quantized_matmul_w8a8(
     q: jax.Array,
     scale: jax.Array,
     *,
-    block_n: int = 512,
-    block_k: int = 1024,
+    block_n: int = 2048,
+    block_k: int = 2048,
     interpret: bool = False,
     out_dtype=None,
 ) -> jax.Array:

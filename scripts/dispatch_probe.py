@@ -156,20 +156,21 @@ def main() -> None:
     report["e2e_single_step"] = timed(e2e_step1)
 
     # --- full scheduler round ----------------------------------------------
+    # Steady state: long budgets, enough context/pages that no lane retires
+    # or patches during the measured rounds (23 rounds x scan_steps tokens).
+    eng2 = TierEngine(spec, params, page_size=128, n_pages=B * 10 + 8,
+                      use_pallas=on_dev)
     sched = ContinuousBatchingScheduler(
-        eng, max_batch=B, max_context=512, scan_steps=args.scan_steps)
+        eng2, max_batch=B, max_context=1024, scan_steps=args.scan_steps)
     for i in range(B):
-        sched.submit([5] * 16, max_new=400, request_id=f"p{i}")
+        sched.submit([5] * 16, max_new=900, request_id=f"p{i}")
     sched.step(1)  # admit (prefill) once
 
     def sched_round():
         sched.step(args.scan_steps)
-        for lane in range(B):  # keep lanes alive: reset budgets
-            req = sched._lanes[lane]
-            if req is not None:
-                del req.out_tokens[: len(req.out_tokens) - 1]
 
     report["sched_step_full_round"] = timed(sched_round, reps=20)
+    report["sched_carry"] = sched.stats().get("carry")
 
     report["wall_s"] = round(time.time() - t0, 1)
     print(json.dumps(report, indent=1))
