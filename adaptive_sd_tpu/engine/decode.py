@@ -1112,6 +1112,19 @@ class TierEngine:
         """One chained scan from a device-resident carry: zero fresh
         host->device transfers on the dispatch path. Returns
         (host (out_tokens, out_logprobs, emitted, q_out), new_carry)."""
+        handles, new_carry = self.decode_sample_scan_carry_async(
+            carry, block_tables_dev, n_steps=n_steps, return_topk=return_topk
+        )
+        return _fetch_host(handles), new_carry
+
+    def decode_sample_scan_carry_async(self, carry, block_tables_dev, *,
+                                       n_steps, return_topk=0):
+        """Dispatch one chained scan WITHOUT fetching: returns (device
+        result handles, new_carry). The tunnel pays ~20 ms of enqueue->
+        start latency per dispatch (DISPATCH_PROBE3.json) that is hidden
+        only while the device stays >= 2 dispatches deep — the scheduler's
+        pipelined loop dispatches round N+1 from the carry before fetching
+        round N's handles (engine/scheduler.py pipeline_scans)."""
         out_t, out_l, emitted, q_out, fin, self.cache = self._decode_scan_jit(
             self.params, carry["tok"], carry["pos"], self.cache,
             block_tables_dev, carry["temps"], carry["top_ps"], carry["key"],
@@ -1120,7 +1133,12 @@ class TierEngine:
         )
         new_carry = dict(carry)
         new_carry["tok"], new_carry["pos"], new_carry["rem"], new_carry["key"] = fin
-        return _fetch_host((out_t, out_l, emitted, q_out)), new_carry
+        return (out_t, out_l, emitted, q_out), new_carry
+
+    @staticmethod
+    def fetch_scan_handles(handles):
+        """Host-materialise async scan handles (one packed fetch)."""
+        return _fetch_host(handles)
 
     def prefill_window_sample_batch(
         self, tokens_w, offsets, win_lens, block_tables, temps, key, *,

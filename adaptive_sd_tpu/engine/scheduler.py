@@ -108,6 +108,7 @@ class ContinuousBatchingScheduler:
         preemption_mode: str = "recompute",
         max_swap_bytes: int = 256 << 20,
         device_carry: bool = True,
+        pipeline_scans: bool = True,
     ) -> None:
         """``spec_topk`` > 0: sampled lanes (temperature > 0) also carry the
         top-K support of each emitted token's distribution, so a later tier
@@ -207,6 +208,17 @@ class ContinuousBatchingScheduler:
         self._carry_rounds = 0
         self._carry_rebuilds = 0
         self._carry_patches = 0
+        # Pipelined scans (requires device_carry): round N+1 is dispatched
+        # from the device carry BEFORE round N's results are fetched, hiding
+        # the tunnel's ~20 ms enqueue->start latency (DISPATCH_PROBE3.json:
+        # a solo round costs ~34 ms vs ~12 ms marginal when the device stays
+        # two dispatches deep). Host bookkeeping runs one round stale; the
+        # scan graph masks zero-budget lanes, so a lane that finished in the
+        # unprocessed round idles harmlessly for one extra dispatch.
+        self.pipeline_scans = bool(pipeline_scans) and self.device_carry
+        self._pending = None          # (handles, [(lane, req)], topk, t0)
+        self._patched_since: set = set()   # lanes patched after pending round
+        self._rebuilt_since = False        # carry rebuilt after pending round
 
     def _timed(self, kind: str, bucket: tuple, fn, *args, **kw):
         """Run one engine dispatch under the per-kind timer. ``bucket`` is
@@ -726,6 +738,10 @@ class ContinuousBatchingScheduler:
         tokens are kept; admission re-prefills [prompt + generated] and the
         lane resumes exactly where it left off (identical output at
         temperature 0)."""
+        # a pipelined in-flight round may hold the victim's newest tokens;
+        # materialise it so out_tokens/position are current before the KV
+        # snapshot (swap) or the recompute baseline is taken
+        self._flush_scans()
         req = self._lanes[lane]
         if req is None:
             return
@@ -789,6 +805,13 @@ class ContinuousBatchingScheduler:
         """Last-resort recovery for an unexpected step() failure: retire
         every active lane with the error instead of letting the scheduler
         thread die (which would hang all in-flight and future requests)."""
+        # abandon any in-flight round (its results are moot; fetching could
+        # be the very thing that failed)
+        self._pending = None
+        self._patched_since = set()
+        self._rebuilt_since = False
+        self._carry = None
+        self._carry_host = None
         for lane, req in enumerate(self._lanes):
             if req is not None:
                 self._retire(lane, req, error=str(exc))
@@ -966,8 +989,18 @@ class ContinuousBatchingScheduler:
         of lanes stepped. Admission always runs first, so a scan only ever
         delays arrivals DURING it (bounded by one scan's wall time)."""
         self._admit()
+        if n_steps == 1:
+            # the single-step path book-keeps inline — materialise any
+            # pipelined round first so host state is current
+            self._flush_scans()
         # Check budgets/eos BEFORE stepping (the sampled token may finish one).
         still = self._scan()
+        if not still and self._pending is not None:
+            # host believes every lane idle, but an unprocessed round may
+            # hold the last emissions (or completions) — drain it and look
+            # again before declaring idle
+            self._flush_scans()
+            still = self._scan()
         if not still:
             return 0
         if n_steps > 1:
@@ -1021,14 +1054,16 @@ class ContinuousBatchingScheduler:
                 self._nlanes.advance(lane, req.next_token)
         return len(still)
 
-    def _dispatch_scan_carried(self, tokens, positions, temps, tps, remaining,
-                               n_steps: int, topk: int):
-        """Scan dispatch from the device-resident carry. The desired host
-        state (what the non-carry path would upload) is diffed against the
-        mirror of what the device already holds; only changed lanes are
-        scatter-patched, and the whole carry is rebuilt when most lanes
-        changed (or none exists). Lanes with zero budget are masked on
-        device, so retired lanes need no patch beyond zeroing their budget."""
+    def _sync_carry(self, tokens, positions, temps, tps, remaining) -> None:
+        """Reconcile the device carry with the desired host state. The
+        desired arrays (what the non-carry path would upload) are diffed
+        against the mirror of what the device already holds; only changed
+        lanes are scatter-patched, and the whole carry is rebuilt when most
+        lanes changed (or none exists). Lanes with zero budget are masked
+        on device, so retired lanes need no patch beyond zeroing their
+        budget. Patched/rebuilt lanes are recorded so a pipelined in-flight
+        round's results for them are discarded (they get recomputed from
+        the patched state)."""
         eng = self.engine
         mir = self._carry_host
         self._carry_rounds += 1
@@ -1051,6 +1086,7 @@ class ContinuousBatchingScheduler:
                     remaining[need], temps[need], tps[need],
                 )
                 self._carry_patches += 1
+                self._patched_since.update(int(x) for x in need)
                 for f, arr in (("tok", tokens), ("pos", positions),
                                ("rem", remaining), ("temps", temps),
                                ("tps", tps)):
@@ -1059,26 +1095,29 @@ class ContinuousBatchingScheduler:
             self._carry = eng.scan_carry_init(
                 tokens, positions, remaining, temps, tps, seed=self.steps
             )
-            self._carry_host = mir = {
+            self._carry_host = {
                 "tok": tokens.copy(), "pos": positions.copy(),
                 "rem": remaining.copy(), "temps": temps.copy(),
                 "tps": tps.copy(),
             }
             self._carry_rebuilds += 1
+            self._rebuilt_since = True
         if self._tables_uploaded is None or not np.array_equal(
             self._tables_uploaded, self._tables
         ):
             self._tables_dev = jnp.asarray(self._tables)
             self._tables_uploaded = self._tables.copy()
-        (out_t, out_l, emitted, q_out), self._carry = self._timed(
-            "scan", (n_steps, topk),
-            eng.decode_sample_scan_carry, self._carry, self._tables_dev,
-            n_steps=n_steps, return_topk=topk,
-        )
-        # advance the mirror exactly as the graph advanced the carry
-        eos = eng.eos_id
-        for lane in np.nonzero(emitted > 0)[0]:
+
+    def _advance_mirror(self, out_t, emitted, lanes) -> None:
+        """Advance the mirror exactly as the graph advanced the carry (only
+        for lanes whose results were applied — patched lanes were already
+        overwritten with their post-patch state)."""
+        mir = self._carry_host
+        eos = self.engine.eos_id
+        for lane in lanes:
             k = int(emitted[lane])
+            if k == 0:
+                continue
             last = int(out_t[lane, k - 1])
             mir["tok"][lane] = last
             mir["pos"][lane] += k
@@ -1086,20 +1125,112 @@ class ContinuousBatchingScheduler:
                 0 if (eos is not None and last == eos)
                 else mir["rem"][lane] - k
             )
+
+    def _dispatch_scan_carried(self, tokens, positions, temps, tps, remaining,
+                               n_steps: int, topk: int):
+        """Non-pipelined carry dispatch: sync, dispatch, fetch inline."""
+        self._sync_carry(tokens, positions, temps, tps, remaining)
+        (out_t, out_l, emitted, q_out), self._carry = self._timed(
+            "scan", (n_steps, topk),
+            self.engine.decode_sample_scan_carry, self._carry,
+            self._tables_dev, n_steps=n_steps, return_topk=topk,
+        )
+        # results are applied (and the mirror advanced) by the caller's
+        # _apply_scan_results; consume the epoch — nothing is in flight
+        self._patched_since.clear()
+        self._rebuilt_since = False
         return out_t, out_l, emitted, q_out
+
+    def _apply_scan_results(self, out_t, out_l, emitted, q_out, lanes,
+                            skip_lanes=frozenset(), skip_all=False) -> None:
+        """Book-keep one fetched round. ``lanes``: [(lane, req)] snapshot at
+        dispatch time — results apply only if the lane still belongs to the
+        same request (preempted/retired lanes' emissions are recomputed or
+        irrelevant) and the lane was not patched/rebuilt after dispatch."""
+        applied = []
+        for lane, req in lanes:
+            if skip_all or lane in skip_lanes or self._lanes[lane] is not req:
+                continue
+            k = int(emitted[lane])
+            if k == 0:
+                continue
+            req.out_tokens.extend(int(t) for t in out_t[lane, :k])
+            req.out_logprobs.extend(float(x) for x in out_l[lane, :k])
+            if q_out and req.temperature > 0:
+                req.out_topk_ids.extend(q_out[0][lane, :k])
+                req.out_topk_probs.extend(q_out[1][lane, :k])
+            req.position += k
+            req.next_token = int(out_t[lane, k - 1])
+            if self._nlanes is not None:
+                for t in out_t[lane, :k]:
+                    self._nlanes.advance(lane, int(t))
+            applied.append(lane)
+        if not skip_all and self._carry_host is not None:
+            self._advance_mirror(out_t, emitted, applied)
+
+    def _process_pending(self) -> None:
+        """Fetch + book-keep the in-flight pipelined round, consuming the
+        patched/rebuilt epoch that accumulated since its dispatch."""
+        if self._pending is None:
+            return
+        handles, lanes, topk = self._pending
+        self._pending = None
+        skip, self._patched_since = self._patched_since, set()
+        skip_all, self._rebuilt_since = self._rebuilt_since, False
+        out_t, out_l, emitted, q_out = self.engine.fetch_scan_handles(handles)
+        self._apply_scan_results(out_t, out_l, emitted, q_out, lanes,
+                                 skip_lanes=skip, skip_all=skip_all)
+
+    def _pipelined_round(self, tokens, positions, temps, tps, remaining,
+                         n_steps: int, topk: int, still) -> int:
+        """Dispatch round N from the carry, THEN fetch round N-1: the
+        device stays a dispatch ahead, hiding the tunnel's enqueue->start
+        latency. Host bookkeeping runs one round stale by construction."""
+        def round_body():
+            self._sync_carry(tokens, positions, temps, tps, remaining)
+            handles, self._carry = self.engine.decode_sample_scan_carry_async(
+                self._carry, self._tables_dev,
+                n_steps=n_steps, return_topk=topk,
+            )
+            prev_epoch = (self._pending, self._patched_since,
+                          self._rebuilt_since)
+            self._pending = (handles, [(ln, rq) for ln, rq, _ in still], topk)
+            self._patched_since = set()
+            self._rebuilt_since = False
+            pend, skip, skip_all = prev_epoch
+            if pend is not None:
+                p_handles, p_lanes, _ = pend
+                out_t, out_l, emitted, q_out = (
+                    self.engine.fetch_scan_handles(p_handles)
+                )
+                self._apply_scan_results(out_t, out_l, emitted, q_out,
+                                         p_lanes, skip_lanes=skip,
+                                         skip_all=skip_all)
+            return len(still)
+
+        return self._timed("scan", (n_steps, topk), round_body)
+
+    def _flush_scans(self) -> None:
+        """Materialise the in-flight round before any operation that needs
+        host state current (single-step path, preemption, drain)."""
+        if self._pending is not None:
+            self._process_pending()
 
     def _step_scan(self, still, n_steps: int) -> int:
         """Advance the active lanes by up to ``n_steps`` tokens in ONE
         dispatch (engine.decode_sample_scan). Pages are pre-grown to cover
         the whole scan; per-lane budgets/eos mask emissions on device."""
         # page growth first (it can preempt lanes under pressure), THEN build
-        # the dispatch arrays from the surviving lanes
+        # the dispatch arrays from the surviving lanes. Pipelined scans run
+        # host bookkeeping one round stale: pre-grow pages for TWO rounds so
+        # the device (one round ahead) never outruns its table.
+        horizon = 2 * n_steps if self.pipeline_scans else n_steps
         for lane, req, _needs in still:
             if self._lanes[lane] is not req:
                 continue
             budget = max(req.max_new - len(req.out_tokens), 0)
             needed = min(
-                (req.position + min(n_steps, budget) + 1) // self.page + 1,
+                (req.position + min(horizon, budget) + 1) // self.page + 1,
                 self.max_pages,
             )
             pages = self._ensure_pages(lane, req, needed)
@@ -1126,6 +1257,10 @@ class ContinuousBatchingScheduler:
 
         self.steps += 1
         topk = self.spec_topk if any(r.temperature > 0 for _, r, _ in still) else 0
+        if self.pipeline_scans:
+            return self._pipelined_round(
+                tokens, positions, temps, tps, remaining, n_steps, topk, still
+            )
         if self.device_carry:
             out_t, out_l, emitted, q_out = self._dispatch_scan_carried(
                 tokens, positions, temps, tps, remaining, n_steps, topk
@@ -1138,20 +1273,8 @@ class ContinuousBatchingScheduler:
                 jax.random.key(self.steps),
                 remaining, n_steps=n_steps, return_topk=topk, top_ps=tps,
             )
-        for lane, req, _ in still:
-            k = int(emitted[lane])
-            if k == 0:
-                continue
-            req.out_tokens.extend(int(t) for t in out_t[lane, :k])
-            req.out_logprobs.extend(float(x) for x in out_l[lane, :k])
-            if q_out and req.temperature > 0:
-                req.out_topk_ids.extend(q_out[0][lane, :k])
-                req.out_topk_probs.extend(q_out[1][lane, :k])
-            req.position += k
-            req.next_token = int(out_t[lane, k - 1])
-            if self._nlanes is not None:
-                for t in out_t[lane, :k]:
-                    self._nlanes.advance(lane, int(t))
+        self._apply_scan_results(out_t, out_l, emitted, q_out,
+                                 [(ln, rq) for ln, rq, _ in still])
         return len(still)
 
     # ------------------------------------------------------------------ loop
@@ -1246,6 +1369,7 @@ class ContinuousBatchingScheduler:
             },
             "carry": {
                 "enabled": self.device_carry,
+                "pipelined": self.pipeline_scans,
                 "rounds": self._carry_rounds,
                 "rebuilds": self._carry_rebuilds,
                 "patches": self._carry_patches,
