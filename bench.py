@@ -291,7 +291,12 @@ def main(argv=None) -> None:
             fmt[(i, bits)] = measure_config(base, layers, bits, seed=i,
                                             meas_depths=md)
             pe = fmt[(i, bits)]["proj_err_step"]
-            if pe is not None and abs(pe) > 0.25:
+            # slope clamp: a stalled depth-lo rep can exceed depth-hi,
+            # collapsing the fitted per-layer time to ~0 and making the
+            # tier look free (observed live: tier-1 layer_ms 0.0, ratio
+            # 0.5, headline inflated to a bogus 7.8x)
+            degenerate = on_tpu and fmt[(i, bits)]["layer_ms"] < 0.05
+            if degenerate or (pe is not None and abs(pe) > 0.25):
                 # a one-off tunnel/compile stall during one depth's timing
                 # inflates the {lo, hi} fit and poisons every downstream
                 # ratio — re-measure the config once and keep the retry
