@@ -1258,6 +1258,38 @@ class ContinuousBatchingScheduler:
         self.steps += 1
         topk = self.spec_topk if any(r.temperature > 0 for _, r, _ in still) else 0
         if self.pipeline_scans:
+            # Endgame de-pipelining: when every lane is within two rounds of
+            # its budget, the in-flight round may finish them all — dispatch-
+            # ing another (fully masked) speculative round would add a whole
+            # scan of pure drain latency per request. Fetch first and re-
+            # derive the lane set instead; mid-stream traffic (any lane with
+            # >2 rounds to go) keeps the pipeline. EOS-ended lanes still pay
+            # one masked round (the host cannot predict eos).
+            if self._pending is not None and all(
+                max(rq.max_new - len(rq.out_tokens), 0) <= 2 * n_steps
+                for _, rq, _ in still
+            ):
+                self._flush_scans()
+                still = [
+                    (ln, rq, nd) for ln, rq, nd in still
+                    if self._lanes[ln] is rq
+                    and len(rq.out_tokens) < rq.max_new
+                    and not (self.engine.eos_id is not None
+                             and rq.next_token == self.engine.eos_id)
+                ]
+                if not still:
+                    # the flushed round completed every lane; retire them
+                    # via the normal scan path on the next step()
+                    return 0
+                for lane, req, _ in still:
+                    tokens[lane] = req.next_token
+                    positions[lane] = req.position
+                    remaining[lane] = max(req.max_new - len(req.out_tokens), 0)
+                # lanes dropped by the flush must be masked in this dispatch
+                active = {ln for ln, _, _ in still}
+                for lane in range(self.max_batch):
+                    if lane not in active:
+                        remaining[lane] = 0
             return self._pipelined_round(
                 tokens, positions, temps, tps, remaining, n_steps, topk, still
             )

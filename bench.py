@@ -830,7 +830,10 @@ def main(argv=None) -> None:
             "lambda": round(float(lam4), 4),
             "stage_distribution": [round(float(d), 3) for d in dist4],
             "bill_source": int4_bill["source"],
-            "bill_per_tier": int4_bill["per_tier"],
+            # the bill actually APPLIED to this row (tier 0 is int8 here,
+            # so its entry is 1.0 by definition; int4_bill carries the
+            # artifact's raw per-tier int4 measurements)
+            "bill_per_tier": [round(float(x), 4) for x in mixed_bill],
             "raw_token_agreement_random_weights": [round(a, 4)
                                                    for a in int4_agreement],
         },
